@@ -1,0 +1,180 @@
+"""One-time torch checkpoint -> JAX pytree weight conversion.
+
+Maps the published checkpoints' state-dict keys (HF
+`Zhyever/Amodal-Depth-Anything-DAV2` safetensors, and the raw base
+`amodal_depth_anything_base.pth` — reference `infer.py:59-66`) onto this
+framework's functional parameter layout:
+
+  torch                                   ours
+  -----                                   ----
+  {enc}pretrained.cls_token               backbone.cls_token
+  {enc}pretrained.pos_embed               backbone.pos_embed
+  {enc}pretrained.patch_embed.proj.weight backbone.patch_embed.proj.w (OIHW->HWIO)
+  {enc}pretrained.blocks.N.attn.qkv.*     backbone.blocks.attn.qkv.* (stacked [L,...], transposed)
+  {enc}depth_head.projects.N.*            depth_head.projects.N.* (conv OIHW->HWIO)
+  {enc}depth_head.resize_layers.{0,1}.*   depth_head.resize_layers.* ([Ci,Co,k,k]->[Ci,k,k,Co])
+  ... etc (see _convert_backbone/_convert_head)
+
+where {enc} is "encoder." for AmodalDAv2 checkpoints (the reference wraps
+the guided DAV2 under `self.encoder`, dav2.py:36) and "" for the raw base
+checkpoint.
+
+Input may be a path to a ``.safetensors``/``.pth`` file or an in-memory
+mapping of numpy arrays. No torch import is required for safetensors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.amodal_dav2 import DAV2Config
+
+__all__ = ["load_state_dict", "convert_dav2", "infer_dav2_config"]
+
+
+def load_state_dict(path: str) -> dict[str, np.ndarray]:
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    import torch  # CPU-only torch is available in the image
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def _lin(sd, name):
+    p = {"w": np.ascontiguousarray(sd[f"{name}.weight"].T)}
+    if f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def _conv(sd, name, *, bias=True):
+    p = {"w": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0))}
+    if bias and f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def _convt(sd, name):
+    # ConvTranspose2d weight [C_in, C_out, k, k] -> [C_in, k, k, C_out]
+    return {"w": np.ascontiguousarray(sd[f"{name}.weight"].transpose(0, 2, 3, 1)),
+            "b": sd[f"{name}.bias"]}
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _stack(dicts: list) -> dict:
+    """Stack a list of identical-structure nested dicts along axis 0."""
+    out = {}
+    for k in dicts[0]:
+        vals = [d[k] for d in dicts]
+        if isinstance(vals[0], dict):
+            out[k] = _stack(vals)
+        else:
+            out[k] = np.stack(vals)
+    return out
+
+
+def _convert_backbone(sd, prefix: str, depth: int, ffn: str,
+                      has_guidance: bool) -> dict:
+    p = {
+        "cls_token": sd[f"{prefix}cls_token"],
+        "pos_embed": sd[f"{prefix}pos_embed"],
+        "mask_token": sd[f"{prefix}mask_token"],
+        "patch_embed": {"proj": _conv(sd, f"{prefix}patch_embed.proj")},
+        "norm": _ln(sd, f"{prefix}norm"),
+    }
+    if has_guidance:
+        p["patch_embed_guidance"] = {
+            "proj": _conv(sd, f"{prefix}patch_embed_guidance.proj")}
+    blocks = []
+    for i in range(depth):
+        b = f"{prefix}blocks.{i}."
+        blk = {
+            "norm1": _ln(sd, f"{b}norm1"),
+            "attn": {"qkv": _lin(sd, f"{b}attn.qkv"),
+                     "proj": _lin(sd, f"{b}attn.proj")},
+            "ls1": {"gamma": sd[f"{b}ls1.gamma"]},
+            "norm2": _ln(sd, f"{b}norm2"),
+            "ls2": {"gamma": sd[f"{b}ls2.gamma"]},
+        }
+        if ffn == "mlp":
+            blk["mlp"] = {"fc1": _lin(sd, f"{b}mlp.fc1"),
+                          "fc2": _lin(sd, f"{b}mlp.fc2")}
+        else:  # swiglufused
+            blk["mlp"] = {"w12": _lin(sd, f"{b}mlp.w12"),
+                          "w3": _lin(sd, f"{b}mlp.w3")}
+        blocks.append(blk)
+    p["blocks"] = _stack(blocks)
+    return p
+
+
+def _convert_head(sd, prefix: str, has_input_projection: bool) -> dict:
+    p: dict = {"projects": {}, "resize_layers": {}, "scratch": {}}
+    for i in range(4):
+        p["projects"][str(i)] = _conv(sd, f"{prefix}projects.{i}")
+    p["resize_layers"]["0"] = _convt(sd, f"{prefix}resize_layers.0")
+    p["resize_layers"]["1"] = _convt(sd, f"{prefix}resize_layers.1")
+    p["resize_layers"]["3"] = _conv(sd, f"{prefix}resize_layers.3")
+    if has_input_projection:
+        p["input_projection"] = {}
+        for i in range(4):
+            p["input_projection"][str(i)] = {
+                "conv": _conv(sd, f"{prefix}input_projection.{i}.0"),
+                "ln": _ln(sd, f"{prefix}input_projection.{i}.1"),
+            }
+    sc = p["scratch"]
+    for i in range(1, 5):
+        sc[f"layer{i}_rn"] = _conv(sd, f"{prefix}scratch.layer{i}_rn", bias=False)
+        r = f"{prefix}scratch.refinenet{i}."
+        sc[f"refinenet{i}"] = {
+            "resConfUnit1": {"conv1": _conv(sd, f"{r}resConfUnit1.conv1"),
+                             "conv2": _conv(sd, f"{r}resConfUnit1.conv2")},
+            "resConfUnit2": {"conv1": _conv(sd, f"{r}resConfUnit2.conv1"),
+                             "conv2": _conv(sd, f"{r}resConfUnit2.conv2")},
+            "out_conv": _conv(sd, f"{r}out_conv"),
+        }
+    sc["output_conv1"] = _conv(sd, f"{prefix}scratch.output_conv1")
+    sc["output_conv2"] = {"conv1": _conv(sd, f"{prefix}scratch.output_conv2.0"),
+                          "conv2": _conv(sd, f"{prefix}scratch.output_conv2.2")}
+    return p
+
+
+def infer_dav2_config(sd: dict, *, raw: bool | None = None,
+                      guide_type: str | None = None,
+                      loss_strategy: str = "entire_target_object") -> DAV2Config:
+    """Guess encoder size / rawness / guide type from state-dict shapes."""
+    prefix = "encoder." if any(k.startswith("encoder.") for k in sd) else ""
+    embed_dim = sd[f"{prefix}pretrained.cls_token"].shape[-1]
+    encoder = {64: "vitt", 384: "vits", 768: "vitb", 1024: "vitl",
+               1536: "vitg"}[embed_dim]
+    if raw is None:
+        raw = not any("patch_embed_guidance" in k for k in sd)
+    if not raw and guide_type is None:
+        gc = sd[f"{prefix}pretrained.patch_embed_guidance.proj.weight"].shape[1]
+        guide_type = {2: "mask+observation", 1: "mask", 4: "image+mask",
+                      5: "image+mask+observation"}[gc]
+    if raw and encoder == "vitg":
+        # the released base ckpt is ViT-G-shaped but with mlp ffn?  No — vitg
+        # always uses swiglufused; nothing to adjust.
+        pass
+    return DAV2Config(encoder=encoder, guide_type=guide_type or "none",
+                      loss_strategy=loss_strategy, raw=raw)
+
+
+def convert_dav2(sd: dict, cfg: DAV2Config) -> dict:
+    """Torch state dict (numpy values) -> our param pytree (numpy leaves)."""
+    prefix = "encoder." if any(k.startswith("encoder.") for k in sd) else ""
+    vit = cfg.vit
+    return {
+        "backbone": _convert_backbone(
+            sd, f"{prefix}pretrained.", vit.depth, vit.ffn,
+            has_guidance=vit.guide_channels > 0),
+        "depth_head": _convert_head(
+            sd, f"{prefix}depth_head.",
+            has_input_projection=not cfg.raw),
+    }

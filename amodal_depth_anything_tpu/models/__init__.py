@@ -1,0 +1,84 @@
+"""Model registry (reference `src/models/__init__.py:13-31` equivalent).
+
+`get_model(name, **kwargs)` returns a `Model` bundle exposing the
+functional `init` / `apply` pair plus its config, so entry points and
+trainers stay model-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+
+from .amodal_dav2 import (DAV2Config, apply_amodal_dav2, apply_raw_dav2,
+                          init_amodal_dav2)
+
+__all__ = ["Model", "get_model", "MODEL_REGISTRY"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    name: str
+    config: Any
+    init: Callable  # (key) -> params
+    apply: Callable  # (params, x, **kwargs) -> prediction
+
+
+def _build_amodal_dav2(*, encoder: str = "vitl",
+                       guide_type: str = "mask+observation",
+                       loss_stategy: str | None = None,
+                       loss_strategy: str | None = None,
+                       pretrained: bool = True, **_ignored) -> Model:
+    # Accept both the reference's (misspelled, load-bearing) config key
+    # `loss_stategy` (dav2.py:22, yaml files) and the corrected spelling.
+    strategy = loss_strategy or loss_stategy or "entire_target_object"
+    cfg = DAV2Config(encoder=encoder, guide_type=guide_type,
+                     loss_strategy=strategy, raw=False)
+
+    # init and apply are jitted: op-by-op eager dispatch pays a fixed
+    # per-compile cost, while one fused program compiles once and lets XLA
+    # fuse across the whole forward.
+    @functools.partial(jax.jit, static_argnames=("attn_impl", "remat"))
+    def _apply(params, x, guide_rgb=None, guide_mask=None, observation=None,
+               attn_impl=None, remat=False):
+        return apply_amodal_dav2(params, cfg, x, guide_rgb=guide_rgb,
+                                 guide_mask=guide_mask, observation=observation,
+                                 attn_impl=attn_impl, remat=remat)
+
+    return Model(
+        name="AmodalDAv2",
+        config=cfg,
+        init=jax.jit(lambda key: init_amodal_dav2(key, cfg)),
+        apply=_apply,
+    )
+
+
+def _build_raw_dav2(*, encoder: str = "vitg", **_ignored) -> Model:
+    cfg = DAV2Config(encoder=encoder, guide_type="none", raw=True)
+
+    @functools.partial(jax.jit, static_argnames=("attn_impl",))
+    def _apply(params, x, attn_impl=None):
+        return apply_raw_dav2(params, cfg, x, attn_impl=attn_impl)
+
+    return Model(
+        name="DepthAnythingV2Raw",
+        config=cfg,
+        init=jax.jit(lambda key: init_amodal_dav2(key, cfg)),
+        apply=_apply,
+    )
+
+
+MODEL_REGISTRY: dict[str, Callable[..., Model]] = {
+    "AmodalDAv2": _build_amodal_dav2,
+    "DepthAnythingV2Raw": _build_raw_dav2,
+}
+
+
+def get_model(name: str, **kwargs) -> Model:
+    if name not in MODEL_REGISTRY:
+        raise ValueError(
+            f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](**kwargs)

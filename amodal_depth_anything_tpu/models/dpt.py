@@ -1,0 +1,171 @@
+"""DPT depth decoder, TPU-native (NHWC, XLA convs, matmul upsamplers).
+
+Functional re-design of the reference DPT head
+(`depth_anything_v2/dpt.py:64-197`) and fusion ops
+(`depth_anything_v2/util/blocks.py`): per-tap 1x1 projections, resize
+layers (4x/2x transposed conv, identity, stride-2 conv), the amodal
+variant's extra per-tap input_projection (conv3x3 + channel LayerNorm +
+ReLU, `dpt.py:153-159` — absent in the raw DAV2 head), scratch 3x3
+convs, four FeatureFusionBlocks with align_corners=True bilinear
+upsampling, and the output conv stack with a sigmoid / linear / relu
+head (`dpt.py:135-151`; raw head `depth_anything_v2_raw/dpt.py:108-116`).
+
+All spatial upsampling goes through `ops.resize2d` (separable MXU
+matmuls with exact torch align_corners semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv2d, conv2d_init, conv_transpose_same_stride, layer_norm_2d
+from ..ops.resize import resize2d
+
+__all__ = ["DPTConfig", "init_dpt_head", "dpt_head"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DPTConfig:
+    in_channels: int                      # ViT embed dim
+    features: int = 256
+    out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    head_mode: str = "sigmoid"            # 'sigmoid' | 'linear' (ssi) | 'relu' (raw)
+    use_input_projection: bool = True     # amodal variant extra convs
+    patch_size: int = 14
+
+
+# ---------------------------------------------------------------------- init
+
+def _rcu_init(key, features: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {"conv1": conv2d_init(k1, 3, 3, features, features),
+            "conv2": conv2d_init(k2, 3, 3, features, features)}
+
+
+def _fusion_init(key, features: int) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "resConfUnit1": _rcu_init(k1, features),
+        "resConfUnit2": _rcu_init(k2, features),
+        "out_conv": conv2d_init(k3, 1, 1, features, features),
+    }
+
+
+def init_dpt_head(key, cfg: DPTConfig) -> dict:
+    n_tap = len(cfg.out_channels)
+    keys = iter(jax.random.split(key, 64))
+    params: dict = {"projects": {}, "resize_layers": {}, "scratch": {}}
+    for i, ch in enumerate(cfg.out_channels):
+        params["projects"][str(i)] = conv2d_init(next(keys), 1, 1,
+                                                 cfg.in_channels, ch)
+    # resize layers: 0 -> convT k4 s4; 1 -> convT k2 s2; 2 -> identity;
+    # 3 -> conv3x3 stride 2
+    c0, c1, _, c3 = cfg.out_channels
+    params["resize_layers"]["0"] = {
+        "w": jnp.zeros((c0, 4, 4, c0), jnp.float32),
+        "b": jnp.zeros((c0,), jnp.float32)}
+    params["resize_layers"]["1"] = {
+        "w": jnp.zeros((c1, 2, 2, c1), jnp.float32),
+        "b": jnp.zeros((c1,), jnp.float32)}
+    params["resize_layers"]["3"] = conv2d_init(next(keys), 3, 3, c3, c3)
+    if cfg.use_input_projection:
+        params["input_projection"] = {}
+        for i, ch in enumerate(cfg.out_channels):
+            params["input_projection"][str(i)] = {
+                "conv": conv2d_init(next(keys), 3, 3, ch, ch),
+                "ln": {"scale": jnp.ones((ch,), jnp.float32),
+                       "bias": jnp.zeros((ch,), jnp.float32)},
+            }
+    sc = params["scratch"]
+    for i, ch in enumerate(cfg.out_channels):
+        sc[f"layer{i + 1}_rn"] = conv2d_init(next(keys), 3, 3, ch,
+                                             cfg.features, bias=False)
+    for i in range(n_tap):
+        sc[f"refinenet{i + 1}"] = _fusion_init(next(keys), cfg.features)
+    sc["output_conv1"] = conv2d_init(next(keys), 3, 3, cfg.features,
+                                     cfg.features // 2)
+    sc["output_conv2"] = {
+        "conv1": conv2d_init(next(keys), 3, 3, cfg.features // 2, 32),
+        "conv2": conv2d_init(next(keys), 1, 1, 32, 1),
+    }
+    return params
+
+
+# --------------------------------------------------------------------- apply
+
+def _rcu(p: dict, x: jax.Array) -> jax.Array:
+    # reference blocks.py:57-80: relu -> conv -> relu -> conv -> +x
+    out = conv2d(p["conv1"], jax.nn.relu(x), padding=1)
+    out = conv2d(p["conv2"], jax.nn.relu(out), padding=1)
+    return out + x
+
+
+def _fusion(p: dict, x: jax.Array, skip: jax.Array | None,
+            size: tuple[int, int] | None) -> jax.Array:
+    # reference blocks.py:123-148
+    out = x
+    if skip is not None:
+        out = out + _rcu(p["resConfUnit1"], skip)
+    out = _rcu(p["resConfUnit2"], out)
+    if size is None:
+        out = resize2d(out, scale_factor=2.0, method="bilinear",
+                       align_corners=True)
+    else:
+        out = resize2d(out, size=size, method="bilinear", align_corners=True)
+    return conv2d(p["out_conv"], out, padding=0)
+
+
+def dpt_head(params: dict, cfg: DPTConfig,
+             features: Sequence[tuple[jax.Array, jax.Array]],
+             patch_hw: tuple[int, int]) -> jax.Array:
+    """features: [(patch_tokens [B,N,D], cls [B,D])] x4 -> depth [B,H,W,1]."""
+    ph, pw = patch_hw
+    taps = []
+    for i, (tokens, _cls) in enumerate(features):
+        b, n, d = tokens.shape
+        x = tokens.reshape(b, ph, pw, d)
+        x = conv2d(params["projects"][str(i)], x, padding=0)
+        if i == 0:
+            x = conv_transpose_same_stride(params["resize_layers"]["0"], x, k=4)
+        elif i == 1:
+            x = conv_transpose_same_stride(params["resize_layers"]["1"], x, k=2)
+        elif i == 3:
+            x = conv2d(params["resize_layers"]["3"], x, stride=2, padding=1)
+        taps.append(x)
+
+    if cfg.use_input_projection:
+        proj = []
+        for i, x in enumerate(taps):
+            p = params["input_projection"][str(i)]
+            x = conv2d(p["conv"], x, padding=1)
+            x = layer_norm_2d(p["ln"], x)
+            proj.append(jax.nn.relu(x))
+        taps = proj
+
+    sc = params["scratch"]
+    rn = [conv2d(sc[f"layer{i + 1}_rn"], x, padding=1)
+          for i, x in enumerate(taps)]
+    l1, l2, l3, l4 = rn
+
+    path4 = _fusion(sc["refinenet4"], l4, None, size=l3.shape[1:3])
+    path3 = _fusion(sc["refinenet3"], path4, l3, size=l2.shape[1:3])
+    path2 = _fusion(sc["refinenet2"], path3, l2, size=l1.shape[1:3])
+    path1 = _fusion(sc["refinenet1"], path2, l1, size=None)
+
+    out = conv2d(sc["output_conv1"], path1, padding=1)
+    out = resize2d(out, size=(ph * cfg.patch_size, pw * cfg.patch_size),
+                   method="bilinear", align_corners=True)
+    out = conv2d(sc["output_conv2"]["conv1"], out, padding=1)
+    out = jax.nn.relu(out)
+    out = conv2d(sc["output_conv2"]["conv2"], out, padding=0)
+    if cfg.head_mode == "sigmoid":
+        out = jax.nn.sigmoid(out)
+    elif cfg.head_mode == "relu":
+        out = jax.nn.relu(out)
+    elif cfg.head_mode != "linear":
+        raise ValueError(f"unknown head_mode: {cfg.head_mode}")
+    return out

@@ -1,0 +1,144 @@
+"""Functional transformer layers with explicit parameter pytrees.
+
+TPU-first design: all layers are pure functions over nested dicts of
+arrays; per-depth block parameters are stored *stacked* along a leading
+depth axis so the ViT trunk can run under `lax.scan` (fast compiles, no
+per-layer HLO duplication). Weight layouts use JAX conventions
+(linear: [in, out]; conv: HWIO) — the torch converter transposes once.
+
+Functional parity targets (checked by golden tests against torch):
+  * LayerNorm eps 1e-6, f32 statistics (reference `dinov2.py:96`).
+  * GELU is the exact erf form (torch `nn.GELU` default).
+  * LayerScale multiplies by a learned per-channel gamma
+    (reference `dinov2_layers/layer_scale.py`).
+  * Mlp is fc1 -> gelu -> fc2 (reference `dinov2_layers/mlp.py`);
+    SwiGLUFFNFused is w12 -> split -> silu(x1)*x2 -> w3 with hidden
+    size (int(8/3*d)+7)//8*8 (reference `dinov2_layers/swiglu_ffn.py`).
+  * Pre-norm residual block: x += ls1(attn(norm1(x)));
+    x += ls2(ffn(norm2(x))) (reference `dinov2_layers/block.py`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+from ..ops.precision import dot_precision
+
+DEFAULT_LN_EPS = 1e-6
+
+
+# ---------------------------------------------------------------- primitives
+
+def linear_init(key, d_in: int, d_out: int, *, std: float = 0.02) -> dict:
+    wk, _ = jax.random.split(key)
+    w = jax.random.truncated_normal(wk, -2.0, 2.0, (d_in, d_out)) * std
+    return {"w": w.astype(jnp.float32), "b": jnp.zeros((d_out,), jnp.float32)}
+
+
+def linear(p: dict, x: jax.Array) -> jax.Array:
+    y = jnp.dot(x, p["w"].astype(x.dtype), precision=dot_precision(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm_init(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p: dict, x: jax.Array, *, eps: float = DEFAULT_LN_EPS) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ------------------------------------------------------------------- FFN
+
+def mlp_init(key, dim: int, hidden: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {"fc1": linear_init(k1, dim, hidden), "fc2": linear_init(k2, hidden, dim)}
+
+
+def mlp(p: dict, x: jax.Array) -> jax.Array:
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+
+
+def swiglu_hidden_dim(dim: int, mlp_ratio: float = 4.0) -> int:
+    hidden = int(dim * mlp_ratio * 2 / 3)
+    return (hidden + 7) // 8 * 8
+
+
+def swiglu_init(key, dim: int, hidden: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {"w12": linear_init(k1, dim, 2 * hidden), "w3": linear_init(k2, hidden, dim)}
+
+
+def swiglu(p: dict, x: jax.Array) -> jax.Array:
+    x12 = linear(p["w12"], x)
+    x1, x2 = jnp.split(x12, 2, axis=-1)
+    return linear(p["w3"], jax.nn.silu(x1) * x2)
+
+
+# ------------------------------------------------------------------- attention
+
+def attention_init(key, dim: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {"qkv": linear_init(k1, dim, 3 * dim), "proj": linear_init(k2, dim, dim)}
+
+
+def self_attention(p: dict, x: jax.Array, *, num_heads: int,
+                   attn_impl: str | None = None) -> jax.Array:
+    b, n, c = x.shape
+    d = c // num_heads
+    qkv = linear(p["qkv"], x).reshape(b, n, 3, num_heads, d)
+    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B,H,N,D]
+    o = multi_head_attention(q, k, v, impl=attn_impl)
+    o = jnp.moveaxis(o, 1, 2).reshape(b, n, c)
+    return linear(p["proj"], o)
+
+
+# ------------------------------------------------------------------- block
+
+def vit_block_init(key, dim: int, *, mlp_ratio: float = 4.0, ffn: str = "mlp",
+                   init_values: float | None = 1.0) -> dict:
+    k_attn, k_ffn = jax.random.split(key)
+    p = {
+        "norm1": layer_norm_init(dim),
+        "attn": attention_init(k_attn, dim),
+        "norm2": layer_norm_init(dim),
+    }
+    if ffn == "mlp":
+        p["mlp"] = mlp_init(k_ffn, dim, int(dim * mlp_ratio))
+    elif ffn == "swiglufused":
+        p["mlp"] = swiglu_init(k_ffn, dim, swiglu_hidden_dim(dim, mlp_ratio))
+    else:
+        raise ValueError(f"unknown ffn: {ffn}")
+    if init_values is not None:
+        p["ls1"] = {"gamma": jnp.full((dim,), init_values, jnp.float32)}
+        p["ls2"] = {"gamma": jnp.full((dim,), init_values, jnp.float32)}
+    return p
+
+
+def vit_block(p: dict, x: jax.Array, *, num_heads: int, ffn: str = "mlp",
+              attn_impl: str | None = None) -> jax.Array:
+    h = self_attention(p["attn"], layer_norm(p["norm1"], x),
+                       num_heads=num_heads, attn_impl=attn_impl)
+    if "ls1" in p:
+        h = h * p["ls1"]["gamma"].astype(h.dtype)
+    x = x + h
+    ffn_fn = mlp if ffn == "mlp" else swiglu
+    h = ffn_fn(p["mlp"], layer_norm(p["norm2"], x))
+    if "ls2" in p:
+        h = h * p["ls2"]["gamma"].astype(h.dtype)
+    return x + h

@@ -1,0 +1,6 @@
+from .mesh import MeshConfig, make_mesh
+from .sharding import (batch_sharding, param_sharding, replicate,
+                       shard_batch, shard_params)
+
+__all__ = ["MeshConfig", "make_mesh", "batch_sharding", "param_sharding",
+           "replicate", "shard_batch", "shard_params"]

@@ -1,0 +1,160 @@
+"""End-to-end amodal-depth inference as ONE jit-fused XLA graph.
+
+The reference `infer.py` round-trips host<->GPU four times (base depth
+in/out, amodal in/out) and blends partially on CPU (SURVEY.md §3.1). Here
+preprocessing (resize / normalize / mask binarize / [-1,1] scaling), the
+frozen base DAV2 forward, the guided AmodalDAv2 forward, and the
+median-filter blend are a single compiled program: the image goes to the
+device once, two float maps come back.
+
+Behavior parity notes vs reference `infer.py:16-121`:
+  * Channel order: the reference feeds cv2's BGR directly into both
+    models (`infer.py:75-76,83`) — we reproduce that faithfully in the
+    CLI (the HF checkpoint was trained accordingly for this entry point).
+  * Base input: cv2.resize INTER_LINEAR on uint8 == bilinear
+    align_corners=False (we compute in f32; sub-lsb deltas only).
+  * Guided inputs: NEAREST resize at 518 (`infer.py:84-86`).
+  * Base depth is min-max normalized to [0,1] (`infer.py:22`); guided
+    model gets `mask*2-1` and `depth*2-1` (`infer.py:88-93`).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.amodal_dav2 import (DAV2Config, apply_amodal_dav2,
+                                  apply_raw_dav2)
+from ..ops.blend import median_filter_blend
+from ..ops.resize import resize2d, resize_nearest
+
+__all__ = ["amodal_depth_graph", "AmodalDepthPipeline"]
+
+
+@functools.partial(jax.jit, static_argnames=("raw_cfg", "amodal_cfg", "size",
+                                             "attn_impl"))
+def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
+                       raw_cfg: DAV2Config, amodal_cfg: DAV2Config,
+                       size: int = 518, attn_impl: str | None = None):
+    """image: [B,h,w,3] float in [0,255]; mask: [B,h,w,1] float (>0 = on).
+
+    Returns (base_depth [B,S,S], blended_depth [B,S,S]) in [0,1].
+    """
+    img01 = image / 255.0
+    # --- base-depth branch (bilinear resize, reference infer.py:17)
+    base_in = resize2d(img01, size=(size, size), method="bilinear")
+    base_depth = apply_raw_dav2(params_raw, raw_cfg, base_in,
+                                attn_impl=attn_impl)  # [B,S,S]
+    lo = jnp.min(base_depth, axis=(-1, -2), keepdims=True)
+    hi = jnp.max(base_depth, axis=(-1, -2), keepdims=True)
+    base_depth = (base_depth - lo) / (hi - lo)
+
+    # --- guided branch (nearest resize, reference infer.py:84-87)
+    rgb = resize_nearest(img01, size=(size, size))
+    m = (resize_nearest(mask, size=(size, size)) > 0).astype(image.dtype)
+    obs = base_depth[..., None]
+    pred = apply_amodal_dav2(
+        params_amodal, amodal_cfg, rgb,
+        guide_mask=m * 2.0 - 1.0,
+        observation=obs * 2.0 - 1.0,
+        attn_impl=attn_impl)  # [B,S,S,1]
+
+    blended = median_filter_blend(pred, obs, m)
+    return base_depth, blended[..., 0]
+
+
+class AmodalDepthPipeline:
+    """User-facing pipeline: load checkpoints once, infer many images.
+
+    Mirrors the reference CLI contract (`infer.py:59-121`): inputs are an
+    image path and an amodal-mask path; outputs are colorized base/amodal
+    depth renders plus the raw float maps.
+    """
+
+    def __init__(self, params_raw, raw_cfg: DAV2Config, params_amodal,
+                 amodal_cfg: DAV2Config, *, size: int = 518,
+                 attn_impl: str | None = None, dtype=jnp.float32):
+        to_dev = lambda t: jax.tree.map(lambda a: jnp.asarray(a, dtype), t)
+        self.params_raw = to_dev(params_raw)
+        self.params_amodal = to_dev(params_amodal)
+        self.raw_cfg, self.amodal_cfg = raw_cfg, amodal_cfg
+        self.size = size
+        self.attn_impl = attn_impl
+        self.dtype = dtype
+
+    @classmethod
+    def from_checkpoints(cls, base_ckpt: str, amodal_ckpt: str, **kw):
+        """base_ckpt: raw DAV2 .pth / .safetensors; amodal_ckpt: HF-style
+        model.safetensors (or directory containing it)."""
+        from ..convert.torch_to_jax import (convert_dav2, infer_dav2_config,
+                                            load_state_dict)
+        if os.path.isdir(amodal_ckpt):
+            amodal_ckpt = os.path.join(amodal_ckpt, "model.safetensors")
+        sd_raw = load_state_dict(base_ckpt)
+        cfg_raw = infer_dav2_config(sd_raw, raw=True)
+        sd_amodal = load_state_dict(amodal_ckpt)
+        cfg_amodal = infer_dav2_config(sd_amodal)
+        return cls(convert_dav2(sd_raw, cfg_raw), cfg_raw,
+                   convert_dav2(sd_amodal, cfg_amodal), cfg_amodal, **kw)
+
+    def __call__(self, image: np.ndarray, mask: np.ndarray):
+        """image: [H,W,3] or [B,H,W,3] uint8/float; mask: [H,W] / [B,H,W].
+
+        Returns (base_depth, blended_depth) as np arrays in [0,1]."""
+        img = np.asarray(image, np.float32)
+        msk = np.asarray(mask, np.float32)
+        squeeze = img.ndim == 3
+        if squeeze:
+            img, msk = img[None], msk[None]
+        base, blended = amodal_depth_graph(
+            self.params_raw, self.params_amodal,
+            jnp.asarray(img, self.dtype),
+            jnp.asarray(msk[..., None], self.dtype),
+            raw_cfg=self.raw_cfg, amodal_cfg=self.amodal_cfg,
+            size=self.size, attn_impl=self.attn_impl)
+        base, blended = np.asarray(base, np.float32), np.asarray(blended, np.float32)
+        if squeeze:
+            base, blended = base[0], blended[0]
+        return base, blended
+
+    def infer_single_image(self, input_image_path: str, input_mask_path: str,
+                           output_path: str):
+        """Reference-compatible file-in/file-out inference (infer.py:71-121)."""
+        import cv2
+        from PIL import Image
+
+        from ..utils.image import colorize_depth, highlight_target
+
+        os.makedirs(output_path, exist_ok=True)
+        name = os.path.basename(input_image_path).split(".")[0]
+        image = cv2.imread(input_image_path)  # BGR, as the reference feeds it
+        mask = (np.asarray(Image.open(input_mask_path)) > 0).astype(np.float32)
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+
+        base, blended = self(image, mask)
+
+        mask518 = np.asarray(
+            resize_nearest(jnp.asarray(mask[None, :, :, None]),
+                           size=(self.size, self.size)))[0, :, :, 0]
+        mask_u8 = (mask518 > 0).astype(np.uint8) * 255
+        h, w = image.shape[:2]
+
+        def render(depth, highlight):
+            colored = (colorize_depth(depth) * 255).astype(np.uint8)
+            if highlight:
+                colored = highlight_target(colored, mask_u8)
+            colored = cv2.resize(colored, (w, h), interpolation=cv2.INTER_NEAREST)
+            return colored[:, :, ::-1]  # match reference BGR->RGB flip
+
+        raw_render = render(base, highlight=False)
+        amodal_render = render(blended, highlight=True)
+        cv2.imwrite(os.path.join(output_path, f"{name}_raw_depth_rendered.png"),
+                    raw_render)
+        cv2.imwrite(os.path.join(output_path, f"{name}_amodal_depth_rendered.png"),
+                    amodal_render)
+        return raw_render, amodal_render

@@ -9,9 +9,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# On this 1-vCPU CI box XLA:CPU's parallel codegen (default split 32) stalls
+# ~40s per compile waiting on its thread pool; a single split compiles the
+# same graph in ~4s.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import numpy as np  # noqa: E402

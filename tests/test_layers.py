@@ -1,0 +1,142 @@
+"""Golden tests: functional layers vs torch-built equivalents.
+
+These assemble small torch modules inline (plain torch.nn primitives) to
+check numerical parity of our JAX layers — they are test fixtures, not
+model code.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from amodal_depth_anything_tpu.models import layers as L
+from amodal_depth_anything_tpu.ops.conv import (conv2d,
+                                                conv_transpose_same_stride,
+                                                layer_norm_2d)
+from amodal_depth_anything_tpu.ops.flash_attention import mha_reference
+
+
+def test_layer_norm_matches_torch(rng):
+    d = 64
+    x = rng.standard_normal((2, 5, d), dtype=np.float32)
+    w = rng.standard_normal(d, dtype=np.float32)
+    b = rng.standard_normal(d, dtype=np.float32)
+    ours = np.asarray(L.layer_norm({"scale": jnp.asarray(w), "bias": jnp.asarray(b)},
+                                   jnp.asarray(x)))
+    theirs = F.layer_norm(torch.from_numpy(x), (d,), torch.from_numpy(w),
+                          torch.from_numpy(b), eps=1e-6).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_gelu_exact(rng):
+    x = rng.standard_normal((128,), dtype=np.float32) * 3
+    ours = np.asarray(L.gelu(jnp.asarray(x)))
+    theirs = F.gelu(torch.from_numpy(x)).numpy()  # default = exact erf
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+
+def test_attention_matches_torch_sdpa(rng):
+    b, h, n, d = 2, 4, 37, 16
+    q, k, v = (rng.standard_normal((b, h, n, d), dtype=np.float32)
+               for _ in range(3))
+    ours = np.asarray(mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    theirs = F.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_matches_torch(rng):
+    x = rng.standard_normal((1, 9, 11, 8), dtype=np.float32)
+    w = rng.standard_normal((3, 3, 8, 16), dtype=np.float32) * 0.1
+    b = rng.standard_normal(16, dtype=np.float32)
+    ours = np.asarray(conv2d({"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                             jnp.asarray(x), padding=1))
+    t = F.conv2d(torch.from_numpy(np.moveaxis(x, -1, 1)),
+                 torch.from_numpy(w.transpose(3, 2, 0, 1)),
+                 torch.from_numpy(b), padding=1)
+    np.testing.assert_allclose(ours, np.moveaxis(t.numpy(), 1, -1),
+                               rtol=1e-4, atol=1e-5)
+    # stride-2 variant (DPT resize layer 3)
+    ours2 = np.asarray(conv2d({"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                              jnp.asarray(x), stride=2, padding=1))
+    t2 = F.conv2d(torch.from_numpy(np.moveaxis(x, -1, 1)),
+                  torch.from_numpy(w.transpose(3, 2, 0, 1)),
+                  torch.from_numpy(b), stride=2, padding=1)
+    np.testing.assert_allclose(ours2, np.moveaxis(t2.numpy(), 1, -1),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_conv_transpose_same_stride_matches_torch(rng, k):
+    ci, co = 6, 5
+    x = rng.standard_normal((2, 7, 8, ci), dtype=np.float32)
+    wt = rng.standard_normal((ci, co, k, k), dtype=np.float32) * 0.2
+    b = rng.standard_normal(co, dtype=np.float32)
+    ours = np.asarray(conv_transpose_same_stride(
+        {"w": jnp.asarray(wt.transpose(0, 2, 3, 1)), "b": jnp.asarray(b)},
+        jnp.asarray(x), k=k))
+    t = F.conv_transpose2d(torch.from_numpy(np.moveaxis(x, -1, 1)),
+                           torch.from_numpy(wt), torch.from_numpy(b), stride=k)
+    np.testing.assert_allclose(ours, np.moveaxis(t.numpy(), 1, -1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_channel_layernorm_2d_matches_torch(rng):
+    # reference dpt.py:37-61 channels_first LayerNorm over C
+    c = 12
+    x = rng.standard_normal((2, 5, 6, c), dtype=np.float32)
+    w = rng.standard_normal(c, dtype=np.float32)
+    b = rng.standard_normal(c, dtype=np.float32)
+    ours = np.asarray(layer_norm_2d({"scale": jnp.asarray(w), "bias": jnp.asarray(b)},
+                                    jnp.asarray(x)))
+    xt = torch.from_numpy(np.moveaxis(x, -1, 1))
+    u = xt.mean(1, keepdim=True)
+    s = (xt - u).pow(2).mean(1, keepdim=True)
+    ref = (xt - u) / torch.sqrt(s + 1e-6)
+    ref = torch.from_numpy(w)[:, None, None] * ref + torch.from_numpy(b)[:, None, None]
+    np.testing.assert_allclose(ours, np.moveaxis(ref.numpy(), 1, -1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_vit_block_matches_torch_composition(rng):
+    """Full pre-norm block vs a torch composition built from primitives."""
+    dim, heads, n = 64, 4, 21
+    key = jax.random.PRNGKey(0)
+    p = L.vit_block_init(key, dim, init_values=1.0)
+    # randomize params so the test is non-trivial
+    leaves, treedef = jax.tree.flatten(p)
+    nrng = np.random.default_rng(1)
+    leaves = [jnp.asarray(nrng.standard_normal(l.shape, dtype=np.float32) * 0.05)
+              for l in leaves]
+    p = jax.tree.unflatten(treedef, leaves)
+    x = rng.standard_normal((2, n, dim), dtype=np.float32)
+
+    ours = np.asarray(L.vit_block(p, jnp.asarray(x), num_heads=heads,
+                                  attn_impl="xla"))
+
+    def tln(pp, t):
+        return F.layer_norm(t, (dim,), torch.from_numpy(np.asarray(pp["scale"])),
+                            torch.from_numpy(np.asarray(pp["bias"])), eps=1e-6)
+
+    xt = torch.from_numpy(x)
+    h = tln(p["norm1"], xt)
+    qkv = h @ torch.from_numpy(np.asarray(p["attn"]["qkv"]["w"])) + \
+        torch.from_numpy(np.asarray(p["attn"]["qkv"]["b"]))
+    q, k, v = qkv.reshape(2, n, 3, heads, dim // heads).permute(2, 0, 3, 1, 4)
+    att = F.scaled_dot_product_attention(q, k, v)
+    att = att.permute(0, 2, 1, 3).reshape(2, n, dim)
+    att = att @ torch.from_numpy(np.asarray(p["attn"]["proj"]["w"])) + \
+        torch.from_numpy(np.asarray(p["attn"]["proj"]["b"]))
+    xt = xt + att * torch.from_numpy(np.asarray(p["ls1"]["gamma"]))
+    h = tln(p["norm2"], xt)
+    h = F.gelu(h @ torch.from_numpy(np.asarray(p["mlp"]["fc1"]["w"])) +
+               torch.from_numpy(np.asarray(p["mlp"]["fc1"]["b"])))
+    h = h @ torch.from_numpy(np.asarray(p["mlp"]["fc2"]["w"])) + \
+        torch.from_numpy(np.asarray(p["mlp"]["fc2"]["b"]))
+    xt = xt + h * torch.from_numpy(np.asarray(p["ls2"]["gamma"]))
+
+    np.testing.assert_allclose(ours, xt.numpy(), rtol=1e-4, atol=1e-5)
