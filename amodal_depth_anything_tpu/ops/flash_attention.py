@@ -150,10 +150,11 @@ def _mha_bwd(sm_scale, block_q, interpret, res, g):
                     precision=jax.lax.Precision.HIGHEST)
     # softmax VJP: ds = p * (dp - sum(dp * p))
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    # s = sm_scale * q k^T is bilinear: the scale lands on BOTH dq and dk.
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
                     precision=jax.lax.Precision.HIGHEST) * sm_scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=jax.lax.Precision.HIGHEST) * sm_scale
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -51,7 +51,7 @@ def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
                                 attn_impl=attn_impl)  # [B,S,S]
     lo = jnp.min(base_depth, axis=(-1, -2), keepdims=True)
     hi = jnp.max(base_depth, axis=(-1, -2), keepdims=True)
-    base_depth = (base_depth - lo) / (hi - lo)
+    base_depth = (base_depth - lo) / jnp.maximum(hi - lo, 1e-8)
 
     # --- guided branch (nearest resize, reference infer.py:84-87)
     rgb = resize_nearest(img01, size=(size, size))

@@ -58,7 +58,7 @@ def align_depth_least_square_np(gt, pred, valid_mask,
     pred_m = np.asarray(pred).squeeze()[np.asarray(valid_mask).squeeze().astype(bool)]
     a = np.stack([pred_m, np.ones_like(pred_m)], axis=-1)
     x, *_ = np.linalg.lstsq(a, gt_m[:, None], rcond=None)
-    scale, shift = float(x[0]), float(x[1])
+    scale, shift = float(x[0, 0]), float(x[1, 0])
     aligned = np.asarray(pred) * scale + shift
     if return_scale_shift:
         return aligned, scale, shift

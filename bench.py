@@ -1,0 +1,87 @@
+"""Benchmark: single-chip amodal-depth pipeline throughput at ~1024 px.
+
+Measures the BASELINE.json north-star metric — end-to-end amodal-depth
+images/sec/chip (frozen ViT-G base-depth forward + guided ViT-L amodal
+forward + fused preprocessing/blend, all one XLA program) at 1022 px
+(73x73 patch grid; 1024 is not a multiple of patch 14), bf16 activations,
+Pallas flash attention on TPU.
+
+`vs_baseline` compares against an engineering estimate of the PyTorch
+reference on A100: ~27-30 TFLOP per image (ViT-G trunk ~18, ViT-L ~6,
+DPT heads ~4) at fp16/xformers with ~40% utilization of 312 TFLOP/s
+=> ~4.3 images/sec. The reference publishes no numbers (BASELINE.md), so
+this anchor is documented here rather than measured.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+# Single-core CPU runs (no TPU): avoid XLA:CPU parallel-codegen stalls.
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "parallel_codegen" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+
+import jax
+import jax.numpy as jnp
+
+A100_PYTORCH_EST_IMG_PER_SEC = 4.3
+
+
+def main():
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, init_amodal_dav2)
+    from amodal_depth_anything_tpu.pipeline import amodal_depth_graph
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    size = 1022 if on_tpu else 56
+    batch = 4 if on_tpu else 1
+    base_enc = "vitg" if on_tpu else "vitt"
+    amodal_enc = "vitl" if on_tpu else "vitt"
+    iters = 10 if on_tpu else 2
+
+    raw_cfg = DAV2Config(encoder=base_enc, guide_type="none", raw=True)
+    amodal_cfg = DAV2Config(encoder=amodal_enc, guide_type="mask+observation")
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    p_raw = jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(jax.random.PRNGKey(0))
+    p_amodal = jax.jit(lambda k: init_amodal_dav2(k, amodal_cfg))(
+        jax.random.PRNGKey(1))
+    p_raw = jax.tree.map(lambda a: a.astype(dtype), p_raw)
+    p_amodal = jax.tree.map(lambda a: a.astype(dtype), p_amodal)
+
+    image = jnp.zeros((batch, size, size, 3), dtype) + 127.0
+    mask = jnp.zeros((batch, size, size, 1), dtype)
+    mask = mask.at[:, size // 4: size // 2, size // 4: size // 2].set(1.0)
+
+    def run():
+        base, blended = amodal_depth_graph(
+            p_raw, p_amodal, image, mask,
+            raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=size)
+        return blended
+
+    run().block_until_ready()  # compile + warmup
+    run().block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": f"amodal-depth images/sec/chip @ {size}px "
+                  f"(base {base_enc} + amodal {amodal_enc}, bf16, batch {batch})",
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / A100_PYTORCH_EST_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

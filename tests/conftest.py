@@ -18,6 +18,14 @@ if "xla_cpu_parallel_codegen_split_count" not in flags:
 os.environ["XLA_FLAGS"] = flags.strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The axon TPU plugin in this image force-registers itself and overrides the
+# JAX_PLATFORMS env var (config becomes "axon,cpu"); without this update all
+# "CPU" tests silently dispatch through the TPU tunnel, adding ~0.8s latency
+# per op. Force the CPU backend programmatically.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
