@@ -17,6 +17,15 @@ __all__ = ["BaseDepthDataset", "DatasetMode", "DepthFileNameMode",
 dataset_name_class_dict: dict[str, type] = {}
 
 
+def _resolve_filenames(path: str, base_data_dir: str) -> str:
+    """Filename lists may be repo-relative (reference style,
+    `data_split/sam/val.txt`) or live inside the data dir."""
+    if os.path.isabs(path) or os.path.exists(path):
+        return path
+    cand = os.path.join(base_data_dir, path)
+    return cand if os.path.exists(cand) else path
+
+
 def get_dataset(cfg_data_split, base_data_dir: str, mode: DatasetMode, **kwargs):
     name = cfg_data_split["name"] if isinstance(cfg_data_split, dict) \
         else cfg_data_split.name
@@ -31,12 +40,12 @@ def get_dataset(cfg_data_split, base_data_dir: str, mode: DatasetMode, **kwargs)
                 for sub in cfg_dict["dataset_list"]]
     if name == "sam":
         cfg_dict.pop("dir", None)
-        filenames = cfg_dict.pop("filenames")
+        filenames = _resolve_filenames(cfg_dict.pop("filenames"), base_data_dir)
         return SAMAmodalDataset(mode=mode, filename_ls_path=filenames,
                                 dataset_dir=base_data_dir, **cfg_dict, **kwargs)
     if name in dataset_name_class_dict:
         cls = dataset_name_class_dict[name]
-        filenames = cfg_dict.pop("filenames")
+        filenames = _resolve_filenames(cfg_dict.pop("filenames"), base_data_dir)
         sub_dir = cfg_dict.pop("dir", "")
         return cls(mode=mode, filename_ls_path=filenames,
                    dataset_dir=os.path.join(base_data_dir, sub_dir),

@@ -293,6 +293,7 @@ class DiscriminativeTrainer:
                     self.save_checkpoint("latest")
                     return
             self.n_batch_in_epoch = 0
+        self.save_checkpoint("latest")
 
     def _periodic_callbacks(self) -> None:
         cfg = self.cfg

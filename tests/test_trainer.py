@@ -1,0 +1,121 @@
+"""End-to-end training tests on the synthetic SAM fixture: loss goes
+finite, checkpoints save/restore, validation fills metric banks, the
+train CLI runs a 3-iter smoke, and mesh sharding works on 8 virtual
+devices."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from amodal_depth_anything_tpu.data import (DataLoader, DatasetMode,
+                                            SAMAmodalDataset)
+from amodal_depth_anything_tpu.data.synthetic import make_synthetic_sam_tree
+from amodal_depth_anything_tpu.models import get_model
+from amodal_depth_anything_tpu.parallel import MeshConfig, make_mesh
+from amodal_depth_anything_tpu.train import DiscriminativeTrainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def sam_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sam_train")
+    list_path = make_synthetic_sam_tree(str(root), n=16, hw=56)
+    return str(root), list_path
+
+
+def _loaders(root, list_path, batch=2):
+    train_ds = SAMAmodalDataset(mode=DatasetMode.TRAIN,
+                                filename_ls_path=list_path, dataset_dir=root,
+                                resize_to_hw=(56, 56))
+    val_ds = SAMAmodalDataset(mode=DatasetMode.EVAL,
+                              filename_ls_path=list_path, dataset_dir=root,
+                              resize_to_hw=(56, 56))
+    return (DataLoader(train_ds, batch_size=batch, shuffle=True,
+                       drop_last=True),
+            DataLoader(val_ds, batch_size=batch, pad_last=True))
+
+
+def _cfg(**kw):
+    base = dict(loss_strategy="entire_target_object", max_iter=2,
+                validation_period=0, visualization_period=0, save_period=0,
+                log_interval=1, compute_dtype="float32", remat=False,
+                attn_impl="xla", eval_metrics=("abs_relative_difference",
+                                               "delta1_acc"))
+    base.update(kw)
+    return TrainerConfig(**base)
+
+
+@pytest.mark.parametrize("strategy", ["entire_target_object",
+                                      "ssi invisible_part"])
+def test_train_steps_reduce_finite_loss(sam_tree, strategy):
+    root, list_path = sam_tree
+    train_loader, _ = _loaders(root, list_path)
+    model = get_model("AmodalDAv2", encoder="vitt")
+    mesh = make_mesh(MeshConfig(data=2, model=1), devices=jax.devices()[:2])
+    trainer = DiscriminativeTrainer(_cfg(loss_strategy=strategy), model,
+                                    train_loader, mesh=mesh)
+    trainer.train()
+    assert trainer.effective_iter == 2
+    assert np.isfinite(trainer.state.params["backbone"]["cls_token"]).all()
+
+
+def test_validation_and_checkpoint_roundtrip(sam_tree, tmp_path):
+    root, list_path = sam_tree
+    train_loader, val_loader = _loaders(root, list_path)
+    model = get_model("AmodalDAv2", encoder="vitt")
+    mesh = make_mesh(MeshConfig(data=2, model=1), devices=jax.devices()[:2])
+    trainer = DiscriminativeTrainer(
+        _cfg(max_iter=1), model, train_loader, val_loaders=[val_loader],
+        mesh=mesh, out_dir_ckpt=str(tmp_path / "ckpt"))
+    trainer.train()
+    results = trainer.validate()
+    bank = results["sam_synth" if "sam_synth" in results else
+                   list(results)[0]]
+    assert np.isfinite(bank["align_overall"]["abs_relative_difference"])
+    assert 0.0 <= bank["overall"]["delta1_acc"] <= 1.0
+
+    trainer.save_checkpoint("latest")
+    # fresh trainer restores step + params exactly
+    trainer2 = DiscriminativeTrainer(
+        _cfg(max_iter=1), model, train_loader, mesh=mesh,
+        out_dir_ckpt=str(tmp_path / "ckpt"))
+    trainer2.load_checkpoint(str(tmp_path / "ckpt" / "latest"))
+    assert trainer2.effective_iter == trainer.effective_iter
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.state.params["backbone"]["cls_token"]),
+        np.asarray(trainer.state.params["backbone"]["cls_token"]))
+
+
+def test_train_on_8_device_mesh(sam_tree):
+    root, list_path = sam_tree
+    train_loader, _ = _loaders(root, list_path, batch=4)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    model = get_model("AmodalDAv2", encoder="vitt")
+    trainer = DiscriminativeTrainer(_cfg(max_iter=1), model, train_loader,
+                                    mesh=mesh)
+    trainer.train()
+    assert trainer.effective_iter == 1
+    # qkv kernels actually sharded over the model axis
+    qkv = trainer.state.params["backbone"]["blocks"]["attn"]["qkv"]["w"]
+    assert "model" in str(qkv.sharding.spec)
+
+
+def test_train_cli_smoke(sam_tree, tmp_path, monkeypatch):
+    root, list_path = sam_tree
+    from amodal_depth_anything_tpu.cli import train as train_cli
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "smoke_synthetic_vitt.yaml")
+    # smoke config references filenames 'train.txt' relative to data dir
+    train_cli.main([
+        "--config", cfg_path,
+        "--base_data_dir", root,
+        "--output_dir", str(tmp_path / "out"),
+        "--no_wandb",
+    ])
+    runs = list((tmp_path / "out" / "smoke_synthetic_vitt").iterdir())
+    assert runs, "run dir created"
+    assert (runs[0] / "config.yaml").exists()
+    assert (runs[0] / "checkpoint" / "latest").exists()
