@@ -71,9 +71,49 @@ def _build_raw_dav2(*, encoder: str = "vitg", **_ignored) -> Model:
     )
 
 
+def _build_depthfm(*, guide_type: str = "mask+observation",
+                   ckpt_path: str | None = None, tiny: bool = False,
+                   **_ignored) -> Model:
+    """DepthFMAmodal (reference `dfm_amodal.py:34`). `ckpt_path` points at
+    the depthfm-v1.ckpt torch checkpoint; weights load via the converter.
+    `tiny=True` shrinks UNet/VAE for tests."""
+    from .depthfm import (DepthFMConfig, depthfm_generate, init_depthfm,
+                          depthfm_train_outputs)
+
+    if tiny:
+        cfg = DepthFMConfig(guide_type=guide_type, model_channels=32,
+                            channel_mult=(1, 2), num_heads=2, context_dim=32,
+                            context_len=7, vae_channels=(16, 32), vae_layers=1)
+    else:
+        cfg = DepthFMConfig(guide_type=guide_type)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("mode", "num_steps", "attn_impl"))
+    def _apply(params, x, rng=None, mode="eval", depth=None, guide_rgb=None,
+               guide_mask=None, observation=None, num_steps=4, attn_impl=None):
+        if mode == "train":
+            return depthfm_train_outputs(
+                params, cfg, rng, x, depth, guide_rgb=guide_rgb,
+                guide_mask=guide_mask, observation=observation,
+                attn_impl=attn_impl)
+        return depthfm_generate(
+            params, cfg, rng, x, num_steps=num_steps, guide_rgb=guide_rgb,
+            guide_mask=guide_mask, observation=observation,
+            attn_impl=attn_impl)
+
+    return Model(
+        name="DepthFMAmodal", config=cfg,
+        init=jax.jit(lambda key: init_depthfm(key, cfg)),
+        apply=_apply,
+    )
+
+
 MODEL_REGISTRY: dict[str, Callable[..., Model]] = {
     "AmodalDAv2": _build_amodal_dav2,
     "DepthAnythingV2Raw": _build_raw_dav2,
+    "DepthFMAmodal": _build_depthfm,
+    "DepthFM": lambda **kw: _build_depthfm(**{**kw, "guide_type":
+                                              kw.get("guide_type", "none")}),
 }
 
 

@@ -64,13 +64,19 @@ def main():
             raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=size)
         return blended
 
-    run().block_until_ready()  # compile + warmup
-    run().block_until_ready()
+    def sync(x):
+        # block_until_ready is unreliable through the axon tunnel; a scalar
+        # fetch is a true device barrier and costs ~1 roundtrip.
+        return float(jnp.sum(x))
+
+    sync(run())  # compile + warmup
+    sync(run())
 
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = run()
-    out.block_until_ready()
+    sync(out)
     dt = time.perf_counter() - t0
 
     img_per_sec = batch * iters / dt

@@ -1,0 +1,112 @@
+"""DepthFM generative branch tests (tiny configs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from amodal_depth_anything_tpu.models import get_model
+from amodal_depth_anything_tpu.models.depthfm import cosine_alpha_bar, q_sample
+from amodal_depth_anything_tpu.models.unet_ldm import (UNetConfig, apply_unet,
+                                                       build_plan, init_unet,
+                                                       timestep_embedding)
+from amodal_depth_anything_tpu.models.vae import (VAEConfig, init_vae,
+                                                  vae_decode, vae_encode_mode)
+
+HW = 32  # latent 4x4 with /8 VAE
+
+
+def test_timestep_embedding_matches_torch_formula(rng):
+    import math
+    import torch
+    t = np.array([0.0, 0.25, 10.0], np.float32)
+    ours = np.asarray(timestep_embedding(jnp.asarray(t), 64))
+    half = 32
+    freqs = torch.exp(-math.log(10000) *
+                      torch.arange(half, dtype=torch.float32) / half)
+    args = torch.from_numpy(t)[:, None] * freqs[None]
+    ref = torch.cat([torch.cos(args), torch.sin(args)], dim=-1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_unet_plan_matches_reference_topology():
+    """SD-1.5 UNet at DepthFM hparams: 12 input blocks, 3-layer middle,
+    12 output blocks (openaimodel.py main-block construction)."""
+    inp, mid, out = build_plan(UNetConfig())
+    assert len(inp) == 12
+    assert len(out) == 12
+    assert [k for k, _ in mid] == ["res", "attn", "res"]
+    # levels 0-2 have attention (ds 1,2,4); level 3 (ds 8) does not
+    kinds = [[k for k, _ in layers] for layers in inp]
+    assert kinds[1] == ["res", "attn"]
+    assert kinds[10] == ["res"]  # ds=8 level: no attn
+    assert kinds[3] == ["down"]
+
+
+def test_unet_forward_shapes(rng):
+    cfg = UNetConfig(in_channels=10, model_channels=32, channel_mult=(1, 2),
+                     num_heads=2, context_dim=16)
+    params = jax.jit(lambda k: init_unet(k, cfg))(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 8, 8, 6), dtype=np.float32))
+    ctx_ca = jnp.asarray(rng.standard_normal((2, 7, 16), dtype=np.float32))
+    t = jnp.asarray([0.1, 0.9], jnp.float32)
+    out = jax.jit(lambda p, x, t, c, cc: apply_unet(p, cfg, x, t, c, cc,
+                                                    attn_impl="xla"))(
+        params, x, t, ctx, ctx_ca)
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae_roundtrip_shapes(rng):
+    cfg = VAEConfig(block_out_channels=(16, 32), layers_per_block=1)
+    params = jax.jit(lambda k: init_vae(k, cfg))(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3), dtype=np.float32))
+    z = jax.jit(lambda p, x: vae_encode_mode(p, x, cfg))(params, x)
+    assert z.shape == (1, 8, 8, 4)  # one downsample for 2 blocks
+    y = jax.jit(lambda p, z: vae_decode(p, z, cfg))(params, z)
+    assert y.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_cosine_schedule_monotone():
+    t = jnp.linspace(0.01, 0.99, 50)
+    ab = np.asarray(cosine_alpha_bar(t))
+    assert (np.diff(ab) < 0).all()
+    assert 0 <= ab.min() and ab.max() <= 1
+    x = jnp.ones((1, 4, 4, 4))
+    noised = q_sample(x, 400, jnp.zeros_like(x))
+    assert np.isfinite(np.asarray(noised)).all()
+
+
+def test_depthfm_train_and_generate(rng):
+    model = get_model("DepthFMAmodal", tiny=True)
+    params = model.init(jax.random.PRNGKey(0))
+    ims = jnp.asarray(rng.random((1, HW, HW, 3), dtype=np.float32)) * 2 - 1
+    depth = jnp.asarray(rng.random((1, HW, HW, 1), dtype=np.float32))
+    mask = jnp.ones((1, HW, HW, 1), jnp.float32)
+    obs = jnp.asarray(rng.random((1, HW, HW, 1), dtype=np.float32))
+
+    pred, target = model.apply(params, ims, rng=jax.random.PRNGKey(1),
+                               mode="train", depth=depth, guide_mask=mask,
+                               observation=obs, attn_impl="xla")
+    # tiny VAE has 2 blocks -> one /2 downsample
+    assert pred.shape == target.shape == (1, HW // 2, HW // 2, 4)
+    assert np.isfinite(np.asarray(pred)).all()
+
+    gen = model.apply(params, ims, rng=jax.random.PRNGKey(2), mode="eval",
+                      num_steps=2, guide_mask=mask, observation=obs,
+                      attn_impl="xla")
+    assert gen.shape == (1, HW, HW, 1)
+    g = np.asarray(gen)
+    assert np.isfinite(g).all() and g.min() >= 0 and g.max() <= 1
+
+
+def test_depthfm_conv_in_zero_guidance_channels():
+    model = get_model("DepthFMAmodal", tiny=True)
+    params = model.init(jax.random.PRNGKey(0))
+    w = np.asarray(params["unet"]["input_blocks"]["0"]["0"]["w"])
+    assert w.shape[2] == 10  # 8 + mask + observation
+    assert np.all(w[:, :, 8:, :] == 0)
+    assert np.any(w[:, :, :8, :] != 0)
