@@ -1,5 +1,6 @@
 """Trainer registry (reference `src/trainer/__init__.py:21-22`)."""
 
+from .depthfm_trainer import DepthFMAmodalTrainer
 from .state import TrainState, create_train_state, make_optimizer
 from .trainer import DiscriminativeTrainer, TrainerConfig
 
@@ -8,6 +9,8 @@ TRAINER_REGISTRY = {
     # Aliases used by reference configs: these model families share the
     # pixel-space trainer skeleton; deltas are handled by TrainerConfig.
     "InvisibleStitchTrainer": DiscriminativeTrainer,
+    "DepthFMAmodalTrainer": DepthFMAmodalTrainer,
+    "DepthFMTrainer": DepthFMAmodalTrainer,
 }
 
 
