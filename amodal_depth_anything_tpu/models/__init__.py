@@ -108,12 +108,43 @@ def _build_depthfm(*, guide_type: str = "mask+observation",
     )
 
 
+def _build_addeeplab(*, encoder_name: str = "resnet50",
+                     channels=(256, 512, 1024, 2048),
+                     up_sample_channels=(128, 256, 512, 1024),
+                     **_ignored) -> Model:
+    """ADDeepLab baseline (reference `deeplab.py:203`). The combined tree is
+    {"params", "bn"}: BatchNorm running stats ride outside the optimizer."""
+    from .deeplab import ADDeepLabConfig, apply_addeeplab, init_addeeplab
+
+    if encoder_name != "resnet50":
+        raise ValueError("only resnet50 encoder is implemented "
+                         f"(got {encoder_name!r})")
+    cfg = ADDeepLabConfig(channels=tuple(channels),
+                          up_sample_channels=tuple(up_sample_channels))
+
+    def _init(key):
+        params, bn = init_addeeplab(key, cfg)
+        return {"params": params, "bn": bn}
+
+    @functools.partial(jax.jit, static_argnames=("train", "attn_impl"))
+    def _apply(tree, x, guide_mask=None, train=False, attn_impl=None,
+               **_kw):
+        (vis, invis), new_bn = apply_addeeplab(
+            tree["params"], tree["bn"], cfg, x, guide_mask=guide_mask,
+            train=train, attn_impl=attn_impl)
+        return (vis, invis), new_bn
+
+    return Model(name="ADDeepLab", config=cfg, init=jax.jit(_init),
+                 apply=_apply)
+
+
 MODEL_REGISTRY: dict[str, Callable[..., Model]] = {
     "AmodalDAv2": _build_amodal_dav2,
     "DepthAnythingV2Raw": _build_raw_dav2,
     "DepthFMAmodal": _build_depthfm,
     "DepthFM": lambda **kw: _build_depthfm(**{**kw, "guide_type":
                                               kw.get("guide_type", "none")}),
+    "ADDeepLab": _build_addeeplab,
 }
 
 

@@ -1,14 +1,16 @@
 """Trainer registry (reference `src/trainer/__init__.py:21-22`)."""
 
+from .amodalsynthdrive_trainer import AmodalSynthDriveTrainer
 from .depthfm_trainer import DepthFMAmodalTrainer
 from .state import TrainState, create_train_state, make_optimizer
 from .trainer import DiscriminativeTrainer, TrainerConfig
 
 TRAINER_REGISTRY = {
     "DiscriminativeTrainer": DiscriminativeTrainer,
-    # Aliases used by reference configs: these model families share the
-    # pixel-space trainer skeleton; deltas are handled by TrainerConfig.
+    # InvisibleStitch shares the pixel-space skeleton minus `entire_scene`
+    # (deltas handled by TrainerConfig / model call signature).
     "InvisibleStitchTrainer": DiscriminativeTrainer,
+    "AmodalSynthDriveTrainer": AmodalSynthDriveTrainer,
     "DepthFMAmodalTrainer": DepthFMAmodalTrainer,
     "DepthFMTrainer": DepthFMAmodalTrainer,
 }
