@@ -138,8 +138,43 @@ def _build_addeeplab(*, encoder_name: str = "resnet50",
                  apply=_apply)
 
 
+def _build_jo_dpt(*, loss_stategy: str | None = None,
+                  loss_strategy: str | None = None, tiny: bool = False,
+                  **_ignored) -> Model:
+    """PartialCompletionContentDPT baseline (reference
+    `jo_amodal/PartialCompletionContentDPT.py:26`). Params tree is
+    {"params", "bn"}; with train=True SPADE's param-free BN uses batch
+    statistics (running stats are kept for eval; the trainer threads them
+    like ADDeepLab's)."""
+    from .jo_dpt import JoDPTConfig, apply_jo_dpt, init_jo_dpt
+
+    del loss_stategy, loss_strategy  # head is always sigmoid in this baseline
+    if tiny:
+        cfg = JoDPTConfig(embed_dim=64, depth=4, num_heads=2, hooks=(0, 1, 2, 3),
+                          tap_channels=(8, 16, 32, 32), features=16,
+                          spade_hidden=8, img_size=64)
+    else:
+        cfg = JoDPTConfig()
+
+    def _init(key):
+        p, bn = init_jo_dpt(key, cfg)
+        return {"params": p, "bn": bn}
+
+    @functools.partial(jax.jit, static_argnames=("train", "attn_impl"))
+    def _apply(tree, x, guide_rgb=None, guide_mask=None, observation=None,
+               train=False, attn_impl=None, **_kw):
+        pred, _new_bn = apply_jo_dpt(tree["params"], tree["bn"], cfg, x,
+                                     guide_mask, train=train,
+                                     attn_impl=attn_impl)
+        return pred
+
+    return Model(name="PartialCompletionContentDPT", config=cfg,
+                 init=jax.jit(_init), apply=_apply)
+
+
 MODEL_REGISTRY: dict[str, Callable[..., Model]] = {
     "AmodalDAv2": _build_amodal_dav2,
+    "PartialCompletionContentDPT": _build_jo_dpt,
     "DepthAnythingV2Raw": _build_raw_dav2,
     "DepthFMAmodal": _build_depthfm,
     "DepthFM": lambda **kw: _build_depthfm(**{**kw, "guide_type":
