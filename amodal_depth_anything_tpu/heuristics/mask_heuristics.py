@@ -1,0 +1,257 @@
+"""SAM + pix2gestalt amodal-mask derivation (the demo's model-heuristics)."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.clip_vit import (CLIPVisionConfig, clip_image_embed,
+                               init_clip_vision)
+from ..models.sam import SAMConfig, init_sam, sam_encode_image, \
+    sam_predict_masks
+from ..models.unet_ldm import UNetConfig, apply_unet, init_unet
+from ..models.vae import SD_VAE, VAEConfig, init_vae, vae_decode, \
+    vae_encode_mode
+from ..ops.ddim import ddim_sample
+from ..ops.resize import resize2d
+
+__all__ = ["Pix2GestaltConfig", "MaskHeuristics",
+           "get_points_from_components"]
+
+SAM_PIXEL_MEAN = (123.675, 116.28, 103.53)
+SAM_PIXEL_STD = (58.395, 57.12, 57.375)
+
+
+@dataclasses.dataclass(frozen=True)
+class Pix2GestaltConfig:
+    """pix2gestalt SD checkpoint hparams: 8-ch conv-in (noisy latent 4 +
+    conditioning latent 4 of image & visible mask), CLIP image embedding
+    as 1-token cross-attention context (dim 768), SD-1.5 UNet body."""
+    image_size: int = 256
+    context_dim: int = 768
+    model_channels: int = 320
+    channel_mult: tuple = (1, 2, 4, 4)
+    num_heads: int = 8
+    ddim_steps: int = 100
+    guidance_scale: float = 1.5
+
+    @property
+    def unet(self) -> UNetConfig:
+        return UNetConfig(in_channels=8, context_dim=self.context_dim,
+                          model_channels=self.model_channels,
+                          channel_mult=self.channel_mult,
+                          num_heads=self.num_heads,
+                          use_linear_in_transformer=False)
+
+
+def get_points_from_components(mask_u8: np.ndarray,
+                               small_component_thresh: int = 100,
+                               grid_step: int = 10) -> np.ndarray:
+    """Point prompts from connected components (reference app.py:77-99):
+    centroids for small components, a sparse grid for large ones."""
+    import cv2
+
+    num_labels, labels, stats, centroids = cv2.connectedComponentsWithStats(
+        mask_u8, connectivity=8)
+    points = []
+    for i in range(1, num_labels):
+        if stats[i, cv2.CC_STAT_AREA] < small_component_thresh:
+            points.append([int(centroids[i][0]), int(centroids[i][1])])
+        else:
+            ys, xs = np.where(labels == i)
+            for y in range(ys.min(), ys.max(), grid_step):
+                for x in range(xs.min(), xs.max(), grid_step):
+                    if labels[y, x] == i:
+                        points.append([x, y])
+    return np.asarray(points, np.float32)
+
+
+class MaskHeuristics:
+    """Derives amodal masks from point prompts (reference app flow)."""
+
+    def __init__(self, sam_params, sam_cfg: SAMConfig, p2g_params,
+                 p2g_cfg: Pix2GestaltConfig,
+                 clip_cfg: CLIPVisionConfig | None = None,
+                 vae_cfg: VAEConfig = SD_VAE, matting_fn=None,
+                 max_points: int = 64):
+        self.sam_params = sam_params
+        self.sam_cfg = sam_cfg
+        self.p2g_params = p2g_params  # {"unet", "vae", "clip", "uncond_ctx"}
+        self.p2g_cfg = p2g_cfg
+        self.clip_cfg = clip_cfg or CLIPVisionConfig()
+        self.vae_cfg = vae_cfg
+        self.matting_fn = matting_fn  # optional RMBG-style matting hook
+        self.max_points = max_points
+
+    # ------------------------------------------------------------- builders
+
+    @classmethod
+    def init_random(cls, key, *, tiny: bool = False, **kw):
+        """Random-weight stack (tests / shape-checking; real use goes via
+        the converters once checkpoints are available)."""
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        if tiny:
+            sam_cfg = SAMConfig(img_size=64, embed_dim=32, depth=2,
+                                num_heads=2, window_size=2,
+                                global_blocks=(1,), out_chans=32,
+                                decoder_dim=32, decoder_heads=2)
+            p2g_cfg = Pix2GestaltConfig(image_size=32, context_dim=32,
+                                        model_channels=32,
+                                        channel_mult=(1, 2), num_heads=2,
+                                        ddim_steps=2)
+            clip_cfg = CLIPVisionConfig(image_size=32, patch_size=8,
+                                        width=32, depth=2, num_heads=2,
+                                        projection_dim=32)
+            vae_cfg = VAEConfig(block_out_channels=(16, 32),
+                                layers_per_block=1)
+        else:
+            sam_cfg, p2g_cfg = SAMConfig(), Pix2GestaltConfig()
+            clip_cfg, vae_cfg = CLIPVisionConfig(), SD_VAE
+        sam_params = init_sam(k1, sam_cfg)
+        p2g_params = {
+            "unet": init_unet(k2, p2g_cfg.unet),
+            "vae": init_vae(k3, vae_cfg),
+            "clip": init_clip_vision(k4, clip_cfg),
+            "uncond_ctx": jnp.zeros((1, 1, p2g_cfg.context_dim), jnp.float32),
+        }
+        return cls(sam_params, sam_cfg, p2g_params, p2g_cfg,
+                   clip_cfg=clip_cfg, vae_cfg=vae_cfg, **kw)
+
+    # ------------------------------------------------------------------ SAM
+
+    def sam_visible_mask(self, image_rgb: np.ndarray,
+                         points_xy: np.ndarray) -> np.ndarray:
+        """image_rgb: [H,W,3] uint8; points_xy: [P,2] pixel coords.
+
+        Returns a [H,W] bool visible-object mask (best single mask)."""
+        import cv2
+
+        s = self.sam_cfg.img_size
+        h, w = image_rgb.shape[:2]
+        img = cv2.resize(image_rgb, (s, s)).astype(np.float32)
+        img = (img - np.asarray(SAM_PIXEL_MEAN)) / np.asarray(SAM_PIXEL_STD)
+
+        pts = np.zeros((1, self.max_points, 2), np.float32)
+        lbl = np.full((1, self.max_points), -1.0, np.float32)
+        n = min(len(points_xy), self.max_points)
+        if n == 0:
+            raise ValueError("no point prompts")
+        pts[0, :n, 0] = points_xy[:n, 0] / w
+        pts[0, :n, 1] = points_xy[:n, 1] / h
+        lbl[0, :n] = 1.0
+
+        masks, iou = self._sam_jit(self.sam_params, jnp.asarray(img[None]),
+                                   jnp.asarray(pts), jnp.asarray(lbl))
+        # single-mask output = mask token 0 (reference multimask_output=False)
+        logits = np.asarray(masks)[0, 0]
+        mask = cv2.resize(logits, (w, h),
+                          interpolation=cv2.INTER_LINEAR) > 0
+        return mask
+
+    @functools.cached_property
+    def _sam_jit(self):
+        cfg = self.sam_cfg
+
+        @jax.jit
+        def run(params, img, pts, lbl):
+            emb = sam_encode_image(params, cfg, img)
+            return sam_predict_masks(params, cfg, emb, pts, lbl)
+
+        return run
+
+    # ----------------------------------------------------------- pix2gestalt
+
+    @functools.cached_property
+    def _p2g_jit(self):
+        p2g_cfg = self.p2g_cfg
+        clip_cfg = self.clip_cfg
+        vae_cfg = self.vae_cfg
+
+        @functools.partial(jax.jit, static_argnames=("num_steps",))
+        def run(params, rng, image01, visible_mask01, num_steps):
+            # conditioning latent: VAE(image * visible_mask + image) style —
+            # pix2gestalt conditions on the full image and the visible-mask
+            # render; we encode the masked visible object composited on the
+            # image (channel concat), CLIP-embed the masked object.
+            masked = image01 * visible_mask01
+            cond_latent = vae_encode_mode(params["vae"],
+                                          image01 * 2.0 - 1.0, vae_cfg)
+            clip_in = resize2d(masked, size=(clip_cfg.image_size,
+                                             clip_cfg.image_size),
+                               method="bilinear")
+            clip_mean = jnp.asarray((0.48145466, 0.4578275, 0.40821073),
+                                    image01.dtype)
+            clip_std = jnp.asarray((0.26862954, 0.26130258, 0.27577711),
+                                   image01.dtype)
+            ctx = clip_image_embed(params["clip"], clip_cfg,
+                                   (clip_in - clip_mean) / clip_std)
+            ctx = ctx[:, None, :]  # single conditioning token
+            uncond = jnp.broadcast_to(
+                params["uncond_ctx"].astype(ctx.dtype),
+                ctx.shape)
+
+            def eps_fn(ctx_tokens):
+                def f(x, t):
+                    return apply_unet(params["unet"], p2g_cfg.unet, x,
+                                      t.astype(x.dtype), context=cond_latent,
+                                      context_ca=ctx_tokens)
+                return f
+
+            latent_hw = cond_latent.shape[1]
+            z = ddim_sample(
+                eps_fn(ctx), rng,
+                (image01.shape[0], latent_hw, latent_hw, 4),
+                num_steps=num_steps,
+                guidance_scale=p2g_cfg.guidance_scale,
+                uncond_fn=eps_fn(uncond), dtype=image01.dtype)
+            decoded = vae_decode(params["vae"], z, vae_cfg)
+            return jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0)
+
+        return run
+
+    def pix2gestalt_completion(self, image_rgb: np.ndarray,
+                               visible_mask: np.ndarray,
+                               seed: int = 0) -> np.ndarray:
+        """256px amodal completion render [H,W,3] in [0,1]."""
+        import cv2
+
+        s = self.p2g_cfg.image_size
+        img = cv2.resize(image_rgb, (s, s)).astype(np.float32) / 255.0
+        m = cv2.resize(visible_mask.astype(np.uint8) * 255, (s, s),
+                       interpolation=cv2.INTER_AREA)
+        m01 = (m > 127).astype(np.float32)[..., None]
+        out = self._p2g_jit(self.p2g_params, jax.random.PRNGKey(seed),
+                            jnp.asarray(img[None]), jnp.asarray(m01[None]),
+                            self.p2g_cfg.ddim_steps)
+        return np.asarray(out)[0]
+
+    # ---------------------------------------------------------------- public
+
+    def amodal_mask_from_points(self, image_rgb: np.ndarray,
+                                point_hint_mask: np.ndarray) -> np.ndarray:
+        """Full model-heuristics path (reference app.py:127-229):
+        point hints -> SAM visible mask -> pix2gestalt completion ->
+        amodal-mask extraction. Returns [H,W] float mask."""
+        import cv2
+
+        hint_u8 = (np.asarray(point_hint_mask) > 0).astype(np.uint8) * 255
+        points = get_points_from_components(hint_u8)
+        visible = self.sam_visible_mask(image_rgb, points)
+        completion = self.pix2gestalt_completion(image_rgb, visible)
+
+        if self.matting_fn is not None:
+            amodal = self.matting_fn(completion)  # e.g. RMBG-1.4
+        else:
+            # threshold matting fallback: the completed object against the
+            # (near-white) pix2gestalt background
+            gray = completion.mean(axis=-1)
+            amodal = (gray < 0.95).astype(np.float32)
+        h, w = image_rgb.shape[:2]
+        amodal = cv2.resize(amodal, (w, h), interpolation=cv2.INTER_NEAREST)
+        # union with the visible mask: amodal ⊇ visible by construction
+        return np.maximum(amodal, visible.astype(np.float32))

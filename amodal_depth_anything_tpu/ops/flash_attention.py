@@ -59,7 +59,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, kv_len: int,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[...].astype(jnp.float32)
+    if v_ref.dtype == jnp.bfloat16:
+        # bf16 inputs: P@V in bf16 (f32 accumulate) — ~1.5x faster on the
+        # MXU; probabilities in [0,1] lose nothing material at bf16, which
+        # matches the xformers fp16 behavior the checkpoints were trained
+        # with. f32 inputs keep the f32 path for parity testing.
+        p = p.astype(jnp.bfloat16)
+        v = v_ref[...]
+    else:
+        v = v_ref[...].astype(jnp.float32)
     o = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         precision=precision,

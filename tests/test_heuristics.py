@@ -1,0 +1,84 @@
+"""SAM / CLIP / DDIM / heuristics pipeline tests (tiny configs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from amodal_depth_anything_tpu.heuristics import (MaskHeuristics,
+                                                  get_points_from_components)
+from amodal_depth_anything_tpu.models.clip_vit import (CLIPVisionConfig,
+                                                       clip_image_embed,
+                                                       init_clip_vision)
+from amodal_depth_anything_tpu.models.sam import (SAMConfig, init_sam,
+                                                  sam_encode_image,
+                                                  sam_predict_masks)
+from amodal_depth_anything_tpu.ops.ddim import (ddim_sample,
+                                                linear_alphas_cumprod)
+
+
+def test_points_from_components():
+    mask = np.zeros((64, 64), np.uint8)
+    mask[5:8, 5:8] = 255              # small component -> centroid
+    mask[20:60, 20:60] = 255          # large component -> grid
+    pts = get_points_from_components(mask, small_component_thresh=100,
+                                     grid_step=10)
+    assert len(pts) >= 5
+    assert any((5 <= x <= 8 and 5 <= y <= 8) for x, y in pts)
+
+
+def test_sam_tiny_forward(rng):
+    cfg = SAMConfig(img_size=64, embed_dim=32, depth=2, num_heads=2,
+                    window_size=2, global_blocks=(1,), out_chans=32,
+                    decoder_dim=32, decoder_heads=2)
+    params = jax.jit(lambda k: init_sam(k, cfg))(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3), dtype=np.float32))
+    emb = jax.jit(lambda p, x: sam_encode_image(p, cfg, x))(params, img)
+    assert emb.shape == (1, 4, 4, 32)
+    pts = jnp.asarray([[[0.5, 0.5], [0.2, 0.3]]], jnp.float32)
+    lbl = jnp.asarray([[1.0, -1.0]], jnp.float32)
+    masks, iou = jax.jit(lambda p, e, c, l: sam_predict_masks(p, cfg, e, c, l))(
+        params, emb, pts, lbl)
+    assert masks.shape == (1, 4, 16, 16)
+    assert iou.shape == (1, 4)
+    assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_clip_tiny_forward(rng):
+    cfg = CLIPVisionConfig(image_size=32, patch_size=8, width=32, depth=2,
+                           num_heads=2, projection_dim=16)
+    params = jax.jit(lambda k: init_clip_vision(k, cfg))(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    emb = jax.jit(lambda p, x: clip_image_embed(p, cfg, x,
+                                                attn_impl="xla"))(params, x)
+    assert emb.shape == (2, 16)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_ddim_schedule_and_sample(rng):
+    ab = np.asarray(linear_alphas_cumprod())
+    assert ab.shape == (1000,) and (np.diff(ab) < 0).all()
+    assert 0 < ab[-1] < ab[0] <= 1
+
+    calls = []
+
+    def fake_eps(x, t):
+        calls.append(1)
+        return x * 0.1
+
+    out = ddim_sample(fake_eps, jax.random.PRNGKey(0), (1, 4, 4, 4),
+                      num_steps=5)
+    assert out.shape == (1, 4, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mask_heuristics_end_to_end(rng):
+    h = MaskHeuristics.init_random(jax.random.PRNGKey(0), tiny=True)
+    img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    hint = np.zeros((48, 48), np.float32)
+    hint[10:30, 10:30] = 1.0
+    amodal = h.amodal_mask_from_points(img, hint)
+    assert amodal.shape == (48, 48)
+    assert np.isfinite(amodal).all()
+    assert set(np.unique(amodal)).issubset({0.0, 1.0})
