@@ -172,9 +172,45 @@ def _build_jo_dpt(*, loss_stategy: str | None = None,
                  init=jax.jit(_init), apply=_apply)
 
 
+def _build_invisible_stitch(*, loss_stategy: str | None = None,
+                            loss_strategy: str | None = None,
+                            tiny: bool = False, **_ignored) -> Model:
+    """InvisibleStitch baseline (reference `invisible_stitch.py:77-110`):
+    ZoeDepth-N (MiDaS DPT_BEiT_L_384) with depth-completion channels.
+    Forward signature deviates from the other models by design:
+    `apply(params, x, invisible_mask=, observation=)`."""
+    from .beit import BEiTConfig
+    from .zoedepth import (ZoeDepthConfig, apply_invisible_stitch,
+                           init_invisible_stitch)
+
+    del loss_stategy, loss_strategy
+    if tiny:
+        cfg = ZoeDepthConfig(
+            backbone=BEiTConfig(embed_dim=64, depth=4, num_heads=2,
+                                img_size=64, in_chans=5),
+            hooks=(0, 1, 2, 3), tap_channels=(8, 16, 32, 32), features=16,
+            n_bins=8, bin_embedding_dim=16, n_attractors=(4, 2, 2, 1),
+            midas_out=8)
+    else:
+        cfg = ZoeDepthConfig()
+
+    @functools.partial(jax.jit, static_argnames=("attn_impl",))
+    def _apply(params, x, invisible_mask=None, observation=None,
+               attn_impl=None, **_kw):
+        del attn_impl  # BEiT rel-pos attention uses the XLA path
+        return apply_invisible_stitch(params, cfg, x,
+                                      invisible_mask=invisible_mask,
+                                      observation=observation)
+
+    return Model(name="InvisibleStitch", config=cfg,
+                 init=jax.jit(lambda k: init_invisible_stitch(k, cfg)),
+                 apply=_apply)
+
+
 MODEL_REGISTRY: dict[str, Callable[..., Model]] = {
     "AmodalDAv2": _build_amodal_dav2,
     "PartialCompletionContentDPT": _build_jo_dpt,
+    "InvisibleStitch": _build_invisible_stitch,
     "DepthAnythingV2Raw": _build_raw_dav2,
     "DepthFMAmodal": _build_depthfm,
     "DepthFM": lambda **kw: _build_depthfm(**{**kw, "guide_type":

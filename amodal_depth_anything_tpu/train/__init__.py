@@ -2,14 +2,13 @@
 
 from .amodalsynthdrive_trainer import AmodalSynthDriveTrainer
 from .depthfm_trainer import DepthFMAmodalTrainer
+from .invisible_stitch_trainer import InvisibleStitchTrainer
 from .state import TrainState, create_train_state, make_optimizer
 from .trainer import DiscriminativeTrainer, TrainerConfig
 
 TRAINER_REGISTRY = {
     "DiscriminativeTrainer": DiscriminativeTrainer,
-    # InvisibleStitch shares the pixel-space skeleton minus `entire_scene`
-    # (deltas handled by TrainerConfig / model call signature).
-    "InvisibleStitchTrainer": DiscriminativeTrainer,
+    "InvisibleStitchTrainer": InvisibleStitchTrainer,
     "AmodalSynthDriveTrainer": AmodalSynthDriveTrainer,
     "DepthFMAmodalTrainer": DepthFMAmodalTrainer,
     "DepthFMTrainer": DepthFMAmodalTrainer,
