@@ -167,13 +167,22 @@ def resize2d(x: jax.Array, size=None, scale_factor=None, *,
     if (ho, wo) == (hi, wi) and sh is None and sw is None:
         return x  # scale==1 on both axes -> identity map
 
-    orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
     wh = jnp.asarray(_interp_matrix(hi, ho, sh, method, align_corners))
     ww = jnp.asarray(_interp_matrix(wi, wo, sw, method, align_corners))
-    # [...,H,W,C]: contract H then W — two MXU dots. HIGHEST precision keeps
-    # true f32 accumulation on TPU (default bf16 passes would break the
-    # <1e-3 depth-parity budget).
+    # [...,H,W,C]: contract H then W — two MXU dots.
+    # f32 inputs: HIGHEST precision keeps true f32 accumulation on TPU
+    # (default bf16 passes would break the <1e-3 depth-parity budget).
+    # bf16 inputs opted into the fast path: single bf16 pass with f32
+    # accumulation (~6x cheaper; interpolation weights lose <0.4% rel).
+    if x.dtype == jnp.bfloat16:
+        y = jnp.einsum("oh,...hwc->...owc", wh.astype(jnp.bfloat16), x,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("pw,...hwc->...hpc", ww.astype(jnp.bfloat16),
+                       y.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
     prec = jax.lax.Precision.HIGHEST
     xf = jnp.einsum("oh,...hwc->...owc", wh, xf, precision=prec)
     xf = jnp.einsum("pw,...hwc->...hpc", ww, xf, precision=prec)
