@@ -47,8 +47,15 @@ class DepthFileNameMode(enum.Enum):
 
 
 def resize_nearest_exact_np(img: np.ndarray, hw: Sequence[int]) -> np.ndarray:
-    """NEAREST_EXACT resize of [H,W,...] numpy array (torch semantics)."""
+    """NEAREST_EXACT resize of [H,W,...] numpy array (torch semantics).
+
+    Uses the native C++ kernel (`..native`, OpenMP) for f32 rasters when
+    the library is built; identical indices either way."""
     h, w = img.shape[:2]
+    if img.dtype == np.float32 and img.ndim in (2, 3):
+        from .. import native
+        if native.available():
+            return native.resize_f32(img, (int(hw[0]), int(hw[1])))
     rows = _nearest_indices(h, int(hw[0]), None, True)
     cols = _nearest_indices(w, int(hw[1]), None, True)
     return img[rows][:, cols]

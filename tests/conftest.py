@@ -26,6 +26,11 @@ import jax  # noqa: E402
 # per op. Force the CPU backend programmatically.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated suite runs skip recompiles.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,53 @@
+"""Native C++ preprocessing kernels: build, exact index parity vs numpy."""
+
+import numpy as np
+import pytest
+
+from amodal_depth_anything_tpu import native
+from amodal_depth_anything_tpu.ops.resize import _nearest_indices
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("native library could not be built")
+    return True
+
+
+def _np_nearest(img, hw):
+    rows = _nearest_indices(img.shape[0], hw[0], None, True)
+    cols = _nearest_indices(img.shape[1], hw[1], None, True)
+    return img[rows][:, cols]
+
+
+def test_resize_u8_matches_numpy(lib_ok, rng):
+    img = (rng.random((37, 53, 3)) * 255).astype(np.uint8)
+    for hw in [(64, 64), (17, 23), (37, 53)]:
+        ours = native.resize_u8_to_f32(img, hw, scale=1.0 / 255.0)
+        ref = _np_nearest(img, hw).astype(np.float32) / 255.0
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_resize_u16_matches_numpy(lib_ok, rng):
+    img = (rng.random((41, 29)) * 65535).astype(np.uint16)
+    ours = native.resize_u16_to_f32(img, (64, 64))
+    ref = _np_nearest(img, (64, 64)).astype(np.float32) / 65535.0
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_resize_f32_matches_numpy(lib_ok, rng):
+    img = rng.random((31, 47, 4)).astype(np.float32)
+    ours = native.resize_f32(img, (20, 24))
+    np.testing.assert_array_equal(ours, _np_nearest(img, (20, 24)))
+    # 2-D variant
+    img2 = rng.random((31, 47)).astype(np.float32)
+    ours2 = native.resize_f32(img2, (64, 64))
+    np.testing.assert_array_equal(ours2, _np_nearest(img2, (64, 64)))
+
+
+def test_dataset_uses_native_path(lib_ok, rng):
+    from amodal_depth_anything_tpu.data.base_depth_dataset import \
+        resize_nearest_exact_np
+    img = rng.random((33, 44, 3)).astype(np.float32)
+    np.testing.assert_array_equal(resize_nearest_exact_np(img, (56, 56)),
+                                  _np_nearest(img, (56, 56)))
