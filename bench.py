@@ -39,7 +39,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     size = 1022 if on_tpu else 56
-    batch = 4 if on_tpu else 1
+    batch = 8 if on_tpu else 1
     base_enc = "vitg" if on_tpu else "vitt"
     amodal_enc = "vitl" if on_tpu else "vitt"
     iters = 10 if on_tpu else 2
@@ -80,11 +80,30 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_sec = batch * iters / dt
+
+    # single-image p50 latency (batch 1, same graph)
+    img1 = image[:1]
+    mask1 = mask[:1]
+
+    def run1():
+        return amodal_depth_graph(p_raw, p_amodal, img1, mask1,
+                                  raw_cfg=raw_cfg, amodal_cfg=amodal_cfg,
+                                  size=size)[1]
+
+    sync(run1())
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(run1())
+        lat.append(time.perf_counter() - t0)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1e3
+
     # BASELINE.json north star is v5e-8 aggregate vs one A100: >=2x.
     v5e8_aggregate = img_per_sec * 8
     print(json.dumps({
         "metric": f"amodal-depth images/sec/chip @ {size}px "
-                  f"(base {base_enc} + amodal {amodal_enc}, bf16, batch {batch})",
+                  f"(base {base_enc} + amodal {amodal_enc}, bf16, "
+                  f"batch {batch}; p50 single-image {p50_ms:.0f} ms)",
         "value": round(img_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(v5e8_aggregate / A100_PYTORCH_EST_IMG_PER_SEC, 3),

@@ -1,0 +1,47 @@
+"""All shipped configs parse, compose, and reference registered models."""
+
+import glob
+import os
+
+import pytest
+
+from amodal_depth_anything_tpu.models import MODEL_REGISTRY
+from amodal_depth_anything_tpu.train import TRAINER_REGISTRY
+from amodal_depth_anything_tpu.utils.config import recursive_load_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+ALL_CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(CONFIG_DIR, "**", "*.yaml"),
+                         recursive=True)
+    if os.path.basename(p) not in ("logging.yaml", "wandb.yaml")
+    and "dataset" not in os.path.dirname(p))
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS,
+                         ids=[os.path.relpath(p, CONFIG_DIR)
+                              for p in ALL_CONFIGS])
+def test_config_parses_and_references_registered_components(path):
+    cfg = recursive_load_config(path)
+    if "model" in cfg:
+        assert cfg.model.name in MODEL_REGISTRY, cfg.model.name
+    if "trainer" in cfg and cfg.trainer.get("name"):
+        assert cfg.trainer.name in TRAINER_REGISTRY, cfg.trainer.name
+    if "loss" in cfg:
+        from amodal_depth_anything_tpu.utils.loss import get_loss
+        get_loss(cfg.loss.name, **(cfg.loss.kwargs.to_dict()
+                                   if cfg.loss.get("kwargs") else {}))
+
+
+def test_vitl_config_matches_reference_protocol():
+    cfg = recursive_load_config(
+        os.path.join(CONFIG_DIR, "train_discriminative_vitl.yaml"))
+    assert cfg.model.kwargs.encoder == "vitl"
+    assert cfg.model.kwargs.guide_type == "mask+observation"
+    assert cfg.model.kwargs.loss_stategy == "entire_target_object"
+    assert cfg.max_iter == 60000
+    assert cfg.dataloader.effective_batch_size == 32
+    assert cfg.lr == 3e-05
+    assert cfg.lr_scheduler.kwargs.total_iter == 50000
+    assert cfg.loss.kwargs.beta == 0.15
+    assert cfg.validation.main_val_metric == "abs_relative_difference"
+    assert len(cfg.eval.eval_metrics) == 10
