@@ -143,26 +143,30 @@ def _mha_fwd(q, k, v, sm_scale, block_q, interpret):
 
 def _mha_bwd(sm_scale, block_q, interpret, res, g):
     # XLA recompute backward: standard attention VJP with stable softmax.
+    # Precision follows the input dtype: f32 operands keep true-f32 passes
+    # for parity; bf16 operands run single-pass bf16 matmuls with f32
+    # accumulation (the xformers-bf16-training equivalent) — HIGHEST here
+    # would triple the whole train step's cost.
     q, k, v = res
     del block_q, interpret
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf * sm_scale, kf,
-                   precision=jax.lax.Precision.HIGHEST)
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf,
-                    precision=jax.lax.Precision.HIGHEST)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf,
-                    precision=jax.lax.Precision.HIGHEST)
+    if q.dtype == jnp.float32:
+        prec = jax.lax.Precision.HIGHEST
+        qc, kc, vc, gc = q, k, v, g.astype(jnp.float32)
+    else:
+        prec = jax.lax.Precision.DEFAULT
+        qc, kc, vc, gc = q, k, v, g.astype(q.dtype)
+    acc = dict(precision=prec, preferred_element_type=jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qc, kc, **acc) * sm_scale
+    p = jax.nn.softmax(s, axis=-1)  # f32
+    p_lo = p.astype(q.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p_lo, gc, **acc)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gc, vc, **acc)
     # softmax VJP: ds = p * (dp - sum(dp * p))
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_lo = ds.astype(q.dtype)
     # s = sm_scale * q k^T is bilinear: the scale lands on BOTH dq and dk.
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
-                    precision=jax.lax.Precision.HIGHEST) * sm_scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
-                    precision=jax.lax.Precision.HIGHEST) * sm_scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds_lo, kc, **acc) * sm_scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds_lo, qc, **acc) * sm_scale
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
