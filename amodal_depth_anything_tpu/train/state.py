@@ -45,6 +45,42 @@ def make_optimizer(*, lr: float, total_iter: int, final_ratio: float = 0.01,
     return tx
 
 
-def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
-    return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+def _shard_opt_state(opt_state, params, mesh):
+    """Place optimizer-state leaves on the shardings the train step will
+    output: subtrees that mirror the params tree (adam mu/nu) take each
+    param's sharding; everything else replicates over the mesh. Without
+    this the first train step has a different jit signature than the
+    second and the big graph compiles twice."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    p_struct = jax.tree_util.tree_structure(params)
+
+    def walk(node):
+        if jax.tree_util.tree_structure(node) == p_struct:
+            return jax.tree.map(
+                lambda l, p: jax.device_put(l, p.sharding), node, params)
+        if isinstance(node, tuple):
+            mapped = [walk(x) for x in node]
+            return type(node)(*mapped) if hasattr(node, "_fields") \
+                else tuple(mapped)
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if hasattr(node, "dtype"):
+            return jax.device_put(node, rep)
+        return node
+
+    return walk(opt_state)
+
+
+def create_train_state(params, tx: optax.GradientTransformation,
+                       mesh=None) -> TrainState:
+    opt_state = tx.init(params)
+    step = jnp.zeros((), jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        opt_state = _shard_opt_state(opt_state, params, mesh)
+        step = jax.device_put(step, NamedSharding(mesh, P()))
+    return TrainState(params=params, opt_state=opt_state, step=step)

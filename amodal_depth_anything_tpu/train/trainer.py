@@ -140,7 +140,7 @@ class DiscriminativeTrainer:
         if params is None:
             params = model.init(jax.random.PRNGKey(seed))
         params = shard_params(self.mesh, params)
-        self.state = create_train_state(params, self.tx)
+        self.state = create_train_state(params, self.tx, mesh=self.mesh)
         self.loss_fn = get_loss(cfg.loss_name, **(cfg.loss_kwargs or {}))
 
         # metric trackers: {bucket or overall} x {raw, aligned}
