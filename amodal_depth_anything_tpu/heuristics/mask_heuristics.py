@@ -91,6 +91,34 @@ class MaskHeuristics:
     # ------------------------------------------------------------- builders
 
     @classmethod
+    def from_checkpoints(cls, sam_ckpt: str, p2g_ckpt: str, vae_ckpt: str,
+                         clip_ckpt: str, **kw):
+        """Load the real model stack: SAM `sam_vit_h.pth`, pix2gestalt LDM
+        ckpt (`epoch=000005.ckpt`), diffusers SD VAE, HF CLIP vision.
+
+        All torch files, converted on load (`convert/` package)."""
+        import torch
+
+        from ..convert.heuristics_convert import (convert_clip_vision,
+                                                  convert_pix2gestalt_unet)
+        from ..convert.depthfm_convert import convert_sd_vae
+        from ..convert.sam_convert import convert_sam
+        from ..convert.torch_to_jax import load_state_dict
+
+        sam_cfg, p2g_cfg = SAMConfig(), Pix2GestaltConfig()
+        sam_params = convert_sam(load_state_dict(sam_ckpt), sam_cfg)
+        ldm = torch.load(p2g_ckpt, map_location="cpu", weights_only=False)
+        ldm_sd = {k: v.numpy() for k, v in ldm["state_dict"].items()}
+        p2g_params = {
+            "unet": convert_pix2gestalt_unet(ldm_sd, p2g_cfg.unet),
+            "vae": convert_sd_vae(load_state_dict(vae_ckpt)),
+            "clip": convert_clip_vision(load_state_dict(clip_ckpt)),
+            "uncond_ctx": jnp.zeros((1, 1, p2g_cfg.context_dim),
+                                    jnp.float32),
+        }
+        return cls(sam_params, sam_cfg, p2g_params, p2g_cfg, **kw)
+
+    @classmethod
     def init_random(cls, key, *, tiny: bool = False, **kw):
         """Random-weight stack (tests / shape-checking; real use goes via
         the converters once checkpoints are available)."""
