@@ -63,6 +63,19 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+def drop_path(rng, x: jax.Array, rate: float) -> jax.Array:
+    """Stochastic depth (reference `dinov2_layers/drop_path.py`): drops the
+    whole residual branch per sample. The reference trains with rate 0
+    (`dinov2.py` defaults); provided for completeness — identity when
+    rate == 0 or rng is None."""
+    if rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    return x * mask.astype(x.dtype) / keep
+
+
 # ------------------------------------------------------------------- FFN
 
 def mlp_init(key, dim: int, hidden: int) -> dict:
