@@ -82,3 +82,17 @@ def test_mask_heuristics_end_to_end(rng):
     assert amodal.shape == (48, 48)
     assert np.isfinite(amodal).all()
     assert set(np.unique(amodal)).issubset({0.0, 1.0})
+
+
+def test_rmbg_matting_forward(rng):
+    from amodal_depth_anything_tpu.models.rmbg import (RMBGConfig, apply_rmbg,
+                                                       init_rmbg)
+    cfg = RMBGConfig(width=8, stage_mid=(4, 4, 4, 8, 8, 8),
+                     stage_out=(8, 8, 16, 16, 16, 16),
+                     dec_mid=(4, 4, 4, 8, 8), heights=(7, 6, 5, 4, 4, 4))
+    params = jax.jit(lambda k: init_rmbg(k, cfg))(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((1, 128, 128, 3), dtype=np.float32))
+    matte = jax.jit(lambda p, x: apply_rmbg(p, cfg, x))(params, x)
+    assert matte.shape == (1, 128, 128, 1)
+    m = np.asarray(matte)
+    assert np.isfinite(m).all() and m.min() >= 0 and m.max() <= 1
