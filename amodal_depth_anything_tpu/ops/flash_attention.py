@@ -1,4 +1,4 @@
-"""Pallas TPU attention kernel for the ViT / UNet hot path.
+"""Pallas TPU attention kernels for the ViT / UNet hot path.
 
 TPU-native replacement for the CUDA attention the reference leans on
 (xformers `memory_efficient_attention`, reference
@@ -7,7 +7,7 @@ TPU-native replacement for the CUDA attention the reference leans on
 
 Design notes (why this is NOT a generic flash-attention port):
   * The workloads here are short fixed sequences — 1370 tokens at 518 px
-    (37^2 patches + cls), 5477 at 1024 px, and 1024-4096 for the LDM UNet
+    (37^2 patches + cls), 5477 at 1022 px, and 1024-4096 for the LDM UNet
     latents. K/V for one (batch, head) slice is at most ~1.4 MB, so the whole
     K/V block fits comfortably in VMEM. We therefore use a *blocked-query,
     resident-KV* schedule: the grid walks (batch*heads, q-blocks), each
@@ -16,10 +16,14 @@ Design notes (why this is NOT a generic flash-attention port):
     which removes its bookkeeping overhead.
   * Sequence lengths are padded to the 128-lane boundary; padded key columns
     are masked with -inf before the softmax (static mask, folded by Mosaic).
-  * f32 accumulation throughout the softmax; inputs may be bf16.
-  * Backward pass: `custom_vjp` recomputes attention with plain XLA einsums
-    (stable softmax). Training still gets the fast Pallas forward; a Pallas
-    backward kernel is a later optimization.
+    Padding the head dim 64->128 measured FASTER than unpadded tiles.
+  * f32 softmax throughout; bf16 operands take single-pass bf16 matmuls with
+    f32 accumulation (the xformers-bf16 training equivalent), f32 operands
+    force true-f32 MXU passes for parity testing.
+  * Backward: two Pallas kernels sharing the forward's log-sum-exp — a
+    blocked-query dq kernel (resident K/V) and a blocked-key dk/dv kernel
+    (resident Q/dO). Nothing of size N x N ever touches HBM. Interpret mode
+    falls back to an XLA recompute VJP.
 """
 
 from __future__ import annotations
@@ -37,46 +41,57 @@ except ImportError:  # pragma: no cover
 
 __all__ = ["mha", "mha_reference"]
 
+NEG_INF = -1e30  # avoid inf-inf NaNs on padded rows
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, kv_len: int,
-                 precision):
-    # q_ref: [block_q, D]; k_ref/v_ref: [Nk_pad, D]; o_ref: [block_q, D]
+def _precision_for(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _dot(a, b, dims, precision):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
+
+def _maybe_lo(x, ref_dtype):
+    return x.astype(jnp.bfloat16) if ref_dtype == jnp.bfloat16 else x
+
+
+# ------------------------------------------------------------------ forward
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale: float,
+                     kv_len: int, precision):
+    # q_ref: [block_q, D]; k_ref/v_ref: [Nk_pad, D]; o_ref: [block_q, D];
+    # lse_ref: [block_q, 128] (lane-padded; column 0 meaningful)
     q = q_ref[...].astype(jnp.float32) * sm_scale
     k = k_ref[...].astype(jnp.float32)
-    # scores: [block_q, Nk_pad] on the MXU, f32 accumulation
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    s = _dot(q, k, ((1,), (1,)), precision)  # [block_q, Nk_pad]
     nk_pad = k_ref.shape[0]
     if kv_len < nk_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < kv_len, s, -jnp.inf)
+        s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    if v_ref.dtype == jnp.bfloat16:
-        # bf16 inputs: P@V in bf16 (f32 accumulate) — ~1.5x faster on the
-        # MXU; probabilities in [0,1] lose nothing material at bf16, which
-        # matches the xformers fp16 behavior the checkpoints were trained
-        # with. f32 inputs keep the f32 path for parity testing.
-        p = p.astype(jnp.bfloat16)
-        v = v_ref[...]
-    else:
-        v = v_ref[...].astype(jnp.float32)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    lse = m + jnp.log(denom)
+    lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape).astype(jnp.float32)
+    p = _maybe_lo(p, v_ref.dtype)
+    v = v_ref[...] if v_ref.dtype == jnp.bfloat16 else \
+        v_ref[...].astype(jnp.float32)
+    o = _dot(p, v, ((1,), (0,)), precision)
     o_ref[...] = (o / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "interpret"))
-def _mha_fwd_pallas(q, k, v, *, sm_scale: float, block_q: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
+                                             "interpret"))
+def _mha_fwd_pallas(q, k, v, *, sm_scale: float, block_q: int,
+                    interpret: bool):
     b, h, nq, d = q.shape
     nk = k.shape[2]
     nq_pad = _round_up(nq, block_q)
@@ -85,18 +100,14 @@ def _mha_fwd_pallas(q, k, v, *, sm_scale: float, block_q: int, interpret: bool):
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, nq_pad - nq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, nk_pad - nk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - nk), (0, d_pad - d)))
-    # Collapse (batch, heads) into one grid axis.
     qp = qp.reshape(b * h, nq_pad, d_pad)
     kp = kp.reshape(b * h, nk_pad, d_pad)
     vp = vp.reshape(b * h, nk_pad, d_pad)
 
-    # f32 operands need true-f32 MXU passes to stay inside the 1e-3 parity
-    # budget; bf16 operands take the fast default path.
-    precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
+    precision = _precision_for(q.dtype)
     grid = (b * h, nq_pad // block_q)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, sm_scale=sm_scale, kv_len=nk,
+    out, lse = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, sm_scale=sm_scale, kv_len=nk,
                           precision=precision),
         grid=grid,
         in_specs=[
@@ -104,11 +115,146 @@ def _mha_fwd_pallas(q, k, v, *, sm_scale: float, block_q: int, interpret: bool):
             pl.BlockSpec((None, nk_pad, d_pad), lambda g, i: (g, 0, 0)),
             pl.BlockSpec((None, nk_pad, d_pad), lambda g, i: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d_pad), lambda g, i: (g, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, d_pad), q.dtype),
+        out_specs=(
+            pl.BlockSpec((None, block_q, d_pad), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((None, block_q, 128), lambda g, i: (g, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq_pad, 128), jnp.float32),
+        ),
         interpret=interpret,
     )(qp, kp, vp)
-    return out.reshape(b, h, nq_pad, d_pad)[:, :, :nq, :d]
+    out = out.reshape(b, h, nq_pad, d_pad)[:, :, :nq, :d]
+    lse = lse[:, :, 0].reshape(b, h, nq_pad)[:, :, :nq]
+    return out, lse
+
+
+# ----------------------------------------------------------------- backward
+
+def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref,
+                        *, sm_scale: float, kv_len: int, precision):
+    # blocked over q: q/do/lse/dd blocks, K/V resident
+    q = q_ref[...].astype(jnp.float32) * sm_scale
+    k = k_ref[...].astype(jnp.float32)
+    s = _dot(q, k, ((1,), (1,)), precision)  # [bq, Nk_pad]
+    nk_pad = k_ref.shape[0]
+    if kv_len < nk_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[:, 0:1])
+    do = do_ref[...]
+    dp = _dot(do.astype(jnp.float32) if do.dtype != jnp.bfloat16 else do,
+              v_ref[...], ((1,), (1,)), precision)  # [bq, Nk_pad]
+    ds = p * (dp - dd_ref[:, 0:1])
+    ds = _maybe_lo(ds, q_ref.dtype)
+    dq = _dot(ds, k_ref[...], ((1,), (0,)), precision) * sm_scale
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+
+def _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+                         dk_ref, dv_ref, *, sm_scale: float, q_len: int,
+                         precision):
+    # blocked over k: k/v blocks, Q/dO/lse/dd resident
+    k = k_ref[...].astype(jnp.float32)
+    q = q_ref[...].astype(jnp.float32) * sm_scale
+    st = _dot(k, q, ((1,), (1,)), precision)  # [bk, Nq_pad]
+    nq_pad = q_ref.shape[0]
+    lse_row = lse_ref[:, 0]  # [Nq_pad]
+    pt = jnp.exp(st - lse_row[None, :])
+    if q_len < nq_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, pt.shape, dimension=1)
+        pt = jnp.where(col < q_len, pt, 0.0)
+    do = do_ref[...]
+    pt_lo = _maybe_lo(pt, q_ref.dtype)
+    dv = _dot(pt_lo, do, ((1,), (0,)), precision)  # [bk, D]
+    dpt = _dot(v_ref[...], do, ((1,), (1,)), precision)  # [bk, Nq_pad]
+    dst = pt * (dpt - dd_ref[:, 0][None, :])
+    dst = _maybe_lo(dst, q_ref.dtype)
+    dk = _dot(dst, q_ref[...], ((1,), (0,)), precision) * sm_scale
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
+                                             "interpret"))
+def _mha_bwd_pallas(q, k, v, out, lse, g, *, sm_scale: float, block_q: int,
+                    interpret: bool):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, 128)
+    d_pad = _round_up(d, 128)
+
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    def pad3(t, n_pad):
+        return jnp.pad(t, ((0, 0), (0, 0), (0, n_pad - t.shape[2]),
+                           (0, d_pad - d))).reshape(b * h, n_pad, d_pad)
+
+    qp, dop = pad3(q, nq_pad), pad3(g, nq_pad)
+    kp, vp = pad3(k, nk_pad), pad3(v, nk_pad)
+    # lane-pad the per-row stats to [*, 128]; pad rows get lse=+big so p=0
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, nq_pad - nq)),
+                    constant_values=1e30)
+    lse_p = jnp.broadcast_to(lse_p.reshape(b * h, nq_pad, 1),
+                             (b * h, nq_pad, 128))
+    dd_p = jnp.pad(dd, ((0, 0), (0, 0), (0, nq_pad - nq)))
+    dd_p = jnp.broadcast_to(dd_p.reshape(b * h, nq_pad, 1),
+                            (b * h, nq_pad, 128))
+
+    precision = _precision_for(q.dtype)
+
+    dq = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, sm_scale=sm_scale, kv_len=nk,
+                          precision=precision),
+        grid=(b * h, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d_pad), lambda g_, i: (g_, i, 0)),
+            pl.BlockSpec((None, nk_pad, d_pad), lambda g_, i: (g_, 0, 0)),
+            pl.BlockSpec((None, nk_pad, d_pad), lambda g_, i: (g_, 0, 0)),
+            pl.BlockSpec((None, block_q, d_pad), lambda g_, i: (g_, i, 0)),
+            pl.BlockSpec((None, block_q, 128), lambda g_, i: (g_, i, 0)),
+            pl.BlockSpec((None, block_q, 128), lambda g_, i: (g_, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d_pad),
+                               lambda g_, i: (g_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_p, dd_p)
+
+    block_k = min(256, nk_pad)
+    nk_pad2 = _round_up(nk_pad, block_k)
+    if nk_pad2 != nk_pad:
+        kp = jnp.pad(kp, ((0, 0), (0, nk_pad2 - nk_pad), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, nk_pad2 - nk_pad), (0, 0)))
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dkv_kernel, sm_scale=sm_scale, q_len=nq,
+                          precision=precision),
+        grid=(b * h, nk_pad2 // block_k),
+        in_specs=[
+            pl.BlockSpec((None, nq_pad, d_pad), lambda g_, i: (g_, 0, 0)),
+            pl.BlockSpec((None, block_k, d_pad), lambda g_, i: (g_, i, 0)),
+            pl.BlockSpec((None, block_k, d_pad), lambda g_, i: (g_, i, 0)),
+            pl.BlockSpec((None, nq_pad, d_pad), lambda g_, i: (g_, 0, 0)),
+            pl.BlockSpec((None, nq_pad, 128), lambda g_, i: (g_, 0, 0)),
+            pl.BlockSpec((None, nq_pad, 128), lambda g_, i: (g_, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, block_k, d_pad), lambda g_, i: (g_, i, 0)),
+            pl.BlockSpec((None, block_k, d_pad), lambda g_, i: (g_, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nk_pad2, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b * h, nk_pad2, d_pad), v.dtype),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_p, dd_p)
+
+    dq = dq.reshape(b, h, nq_pad, d_pad)[:, :, :nq, :d]
+    dk = dk.reshape(b, h, nk_pad2, d_pad)[:, :, :nk, :d]
+    dv = dv.reshape(b, h, nk_pad2, d_pad)[:, :, :nk, :d]
+    return dq, dk, dv
 
 
 def mha_reference(q, k, v, *, sm_scale: float | None = None):
@@ -131,43 +277,21 @@ def mha_reference(q, k, v, *, sm_scale: float | None = None):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _mha(q, k, v, sm_scale, block_q, interpret):
-    return _mha_fwd_pallas(q, k, v, sm_scale=sm_scale, block_q=block_q,
-                           interpret=interpret)
+    out, _lse = _mha_fwd_pallas(q, k, v, sm_scale=sm_scale, block_q=block_q,
+                                interpret=interpret)
+    return out
 
 
 def _mha_fwd(q, k, v, sm_scale, block_q, interpret):
-    out = _mha_fwd_pallas(q, k, v, sm_scale=sm_scale, block_q=block_q,
-                          interpret=interpret)
-    return out, (q, k, v)
+    out, lse = _mha_fwd_pallas(q, k, v, sm_scale=sm_scale, block_q=block_q,
+                               interpret=interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _mha_bwd(sm_scale, block_q, interpret, res, g):
-    # XLA recompute backward: standard attention VJP with stable softmax.
-    # Precision follows the input dtype: f32 operands keep true-f32 passes
-    # for parity; bf16 operands run single-pass bf16 matmuls with f32
-    # accumulation (the xformers-bf16-training equivalent) — HIGHEST here
-    # would triple the whole train step's cost.
-    q, k, v = res
-    del block_q, interpret
-    if q.dtype == jnp.float32:
-        prec = jax.lax.Precision.HIGHEST
-        qc, kc, vc, gc = q, k, v, g.astype(jnp.float32)
-    else:
-        prec = jax.lax.Precision.DEFAULT
-        qc, kc, vc, gc = q, k, v, g.astype(q.dtype)
-    acc = dict(precision=prec, preferred_element_type=jnp.float32)
-    s = jnp.einsum("bhqd,bhkd->bhqk", qc, kc, **acc) * sm_scale
-    p = jax.nn.softmax(s, axis=-1)  # f32
-    p_lo = p.astype(q.dtype)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p_lo, gc, **acc)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gc, vc, **acc)
-    # softmax VJP: ds = p * (dp - sum(dp * p))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds_lo = ds.astype(q.dtype)
-    # s = sm_scale * q k^T is bilinear: the scale lands on BOTH dq and dk.
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds_lo, kc, **acc) * sm_scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds_lo, qc, **acc) * sm_scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    q, k, v, out, lse = res
+    return _mha_bwd_pallas(q, k, v, out, lse, g, sm_scale=sm_scale,
+                           block_q=block_q, interpret=interpret)
 
 
 _mha.defvjp(_mha_fwd, _mha_bwd)
