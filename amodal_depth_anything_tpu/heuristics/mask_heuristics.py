@@ -17,10 +17,11 @@ from ..models.sam import SAMConfig, init_sam, sam_encode_image, \
 from ..models.unet_ldm import UNetConfig, apply_unet, init_unet
 from ..models.vae import SD_VAE, VAEConfig, init_vae, vae_decode, \
     vae_encode_mode
+from ..models.rmbg import RMBGConfig, apply_rmbg
 from ..ops.ddim import ddim_sample
 from ..ops.resize import resize2d
 
-__all__ = ["Pix2GestaltConfig", "MaskHeuristics",
+__all__ = ["Pix2GestaltConfig", "MaskHeuristics", "make_rmbg_matting_fn",
            "get_points_from_components"]
 
 SAM_PIXEL_MEAN = (123.675, 116.28, 103.53)
@@ -47,6 +48,30 @@ class Pix2GestaltConfig:
                           channel_mult=self.channel_mult,
                           num_heads=self.num_heads,
                           use_linear_in_transformer=False)
+
+
+def make_rmbg_matting_fn(params, cfg: RMBGConfig = RMBGConfig(),
+                         input_size: int = 1024, threshold: float = 0.5):
+    """Build the RMBG-1.4 neural matting hook (reference app.py:164-169).
+
+    The returned fn maps a completion render [H,W,3] float in [0,1] to a
+    binary [H,W] float amodal mask: resize to the net's square input
+    (RMBG-1.4 runs at 1024), jitted ISNet forward, resize the alpha back,
+    threshold. Use `input_size` ≤ 256 with tiny configs in tests."""
+    run = jax.jit(functools.partial(apply_rmbg, params, cfg))
+
+    def matting_fn(completion: np.ndarray) -> np.ndarray:
+        import cv2
+
+        h, w = completion.shape[:2]
+        img = cv2.resize(completion.astype(np.float32),
+                         (input_size, input_size),
+                         interpolation=cv2.INTER_LINEAR)
+        alpha = np.asarray(run(jnp.asarray(img[None])))[0, ..., 0]
+        alpha = cv2.resize(alpha, (w, h), interpolation=cv2.INTER_LINEAR)
+        return (alpha > threshold).astype(np.float32)
+
+    return matting_fn
 
 
 def get_points_from_components(mask_u8: np.ndarray,
@@ -92,9 +117,11 @@ class MaskHeuristics:
 
     @classmethod
     def from_checkpoints(cls, sam_ckpt: str, p2g_ckpt: str, vae_ckpt: str,
-                         clip_ckpt: str, **kw):
+                         clip_ckpt: str, rmbg_ckpt: str | None = None, **kw):
         """Load the real model stack: SAM `sam_vit_h.pth`, pix2gestalt LDM
-        ckpt (`epoch=000005.ckpt`), diffusers SD VAE, HF CLIP vision.
+        ckpt (`epoch=000005.ckpt`), diffusers SD VAE, HF CLIP vision, and
+        (optionally) briaai/RMBG-1.4 as the neural matting hook — the
+        reference demo's full model-heuristics stack (app.py:34-60).
 
         All torch files, converted on load (`convert/` package)."""
         import torch
@@ -102,8 +129,13 @@ class MaskHeuristics:
         from ..convert.heuristics_convert import (convert_clip_vision,
                                                   convert_pix2gestalt_unet)
         from ..convert.depthfm_convert import convert_sd_vae
+        from ..convert.rmbg_convert import convert_rmbg
         from ..convert.sam_convert import convert_sam
         from ..convert.torch_to_jax import load_state_dict
+
+        if rmbg_ckpt is not None and "matting_fn" not in kw:
+            kw["matting_fn"] = make_rmbg_matting_fn(
+                convert_rmbg(load_state_dict(rmbg_ckpt)))
 
         sam_cfg, p2g_cfg = SAMConfig(), Pix2GestaltConfig()
         sam_params = convert_sam(load_state_dict(sam_ckpt), sam_cfg)

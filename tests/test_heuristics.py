@@ -84,6 +84,27 @@ def test_mask_heuristics_end_to_end(rng):
     assert set(np.unique(amodal)).issubset({0.0, 1.0})
 
 
+def test_rmbg_matting_fn_in_heuristics(rng):
+    """RMBG wired as matting_fn: tiny ISNet mattes the completion render."""
+    from amodal_depth_anything_tpu.heuristics import make_rmbg_matting_fn
+    from amodal_depth_anything_tpu.models.rmbg import RMBGConfig, init_rmbg
+
+    cfg = RMBGConfig(width=8, stage_mid=(4, 4, 4, 8, 8, 8),
+                     stage_out=(8, 8, 16, 16, 16, 16),
+                     dec_mid=(4, 4, 4, 8, 8))
+    params = jax.jit(lambda k: init_rmbg(k, cfg))(jax.random.PRNGKey(0))
+    matting = make_rmbg_matting_fn(params, cfg, input_size=64)
+
+    h = MaskHeuristics.init_random(jax.random.PRNGKey(0), tiny=True,
+                                   matting_fn=matting)
+    img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    hint = np.zeros((48, 48), np.float32)
+    hint[10:30, 10:30] = 1.0
+    amodal = h.amodal_mask_from_points(img, hint)
+    assert amodal.shape == (48, 48)
+    assert set(np.unique(amodal)).issubset({0.0, 1.0})
+
+
 def test_rmbg_matting_forward(rng):
     from amodal_depth_anything_tpu.models.rmbg import (RMBGConfig, apply_rmbg,
                                                        init_rmbg)
