@@ -14,7 +14,6 @@ evaluation uses the invisible head under the shared protocol.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +57,6 @@ class AmodalSynthDriveTrainer(DiscriminativeTrainer):
             loss = w_occ * l_inv + (1.0 - w_occ) * l_vis
             return jnp.where(jnp.isfinite(loss), loss, 0.0), new_bn
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
             tree = state.params
             (loss, new_bn), grads = jax.value_and_grad(
@@ -74,7 +72,7 @@ class AmodalSynthDriveTrainer(DiscriminativeTrainer):
             return state.replace(params=new_tree, opt_state=opt_state,
                                  step=state.step + 1), loss
 
-        return train_step
+        return self._jit_train_step(train_step)
 
     def _build_eval_forward(self):
         cfg = self.cfg

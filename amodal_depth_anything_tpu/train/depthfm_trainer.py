@@ -81,7 +81,6 @@ class DepthFMAmodalTrainer(DiscriminativeTrainer):
             loss = loss_fn(pred, target, mask4)
             return jnp.where(jnp.isfinite(loss), loss, 0.0)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
             rng = jax.random.fold_in(jax.random.PRNGKey(base_seed),
                                      state.step)
@@ -98,7 +97,7 @@ class DepthFMAmodalTrainer(DiscriminativeTrainer):
             return state.replace(params=params, opt_state=opt_state,
                                  step=state.step + 1), loss
 
-        return train_step
+        return self._jit_train_step(train_step)
 
     def _build_eval_forward(self):
         cfg = self.cfg

@@ -5,7 +5,6 @@ deviating call signature `model(x, invisible_mask=, observation=)`
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +48,6 @@ class InvisibleStitchTrainer(DiscriminativeTrainer):
                 batch["visible_mask"] > 0)
             return jnp.where(jnp.isfinite(loss), loss, 0.0)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
             loss, grads = jax.value_and_grad(loss_of)(state.params, batch)
             grads = jax.tree.map(
@@ -61,7 +59,7 @@ class InvisibleStitchTrainer(DiscriminativeTrainer):
             return state.replace(params=params, opt_state=opt_state,
                                  step=state.step + 1), loss
 
-        return train_step
+        return self._jit_train_step(train_step)
 
     def _build_eval_forward(self):
         cfg = self.cfg

@@ -194,7 +194,6 @@ class DiscriminativeTrainer:
             # NaN guard (reference zero-loss fallback, :246-251)
             return jnp.where(jnp.isfinite(loss), loss, 0.0)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
             loss, grads = jax.value_and_grad(loss_of)(state.params, batch)
             grads = jax.tree.map(
@@ -205,7 +204,20 @@ class DiscriminativeTrainer:
             return state.replace(params=params, opt_state=opt_state,
                                  step=state.step + 1), loss
 
-        return train_step
+        return self._jit_train_step(train_step)
+
+    def _jit_train_step(self, fn):
+        """jit a `(state, batch) -> (state, loss)` step with donated state
+        and output shardings pinned to the init-time state placement:
+        without the pin, XLA's sharding propagation may pick different
+        output layouts on a TP mesh than `create_train_state` chose, so
+        step 2 sees new input shardings and the whole graph compiles
+        twice."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state_shardings = jax.tree.map(lambda x: x.sharding, self.state)
+        return jax.jit(fn, donate_argnums=(0,),
+                       out_shardings=(state_shardings,
+                                      NamedSharding(self.mesh, P())))
 
     def _build_eval_forward(self):
         cfg = self.cfg

@@ -93,13 +93,15 @@ def test_train_on_8_device_mesh(sam_tree):
     train_loader, _ = _loaders(root, list_path, batch=4)
     mesh = make_mesh(MeshConfig(data=4, model=2))
     model = get_model("AmodalDAv2", encoder="vitt")
-    trainer = DiscriminativeTrainer(_cfg(max_iter=1), model, train_loader,
+    trainer = DiscriminativeTrainer(_cfg(max_iter=2), model, train_loader,
                                     mesh=mesh)
     trainer.train()
-    assert trainer.effective_iter == 1
+    assert trainer.effective_iter == 2
     # qkv kernels actually sharded over the model axis
     qkv = trainer.state.params["backbone"]["blocks"]["attn"]["qkv"]["w"]
     assert "model" in str(qkv.sharding.spec)
+    # pinned out_shardings: step 2 must reuse step 1's compilation
+    assert trainer._train_step._cache_size() == 1
 
 
 def test_train_cli_smoke(sam_tree, tmp_path, monkeypatch):
