@@ -111,12 +111,13 @@ def attention_init(key, dim: int) -> dict:
 
 
 def self_attention(p: dict, x: jax.Array, *, num_heads: int,
-                   attn_impl: str | None = None) -> jax.Array:
+                   attn_impl: str | None = None,
+                   kv_len: int | None = None) -> jax.Array:
     b, n, c = x.shape
     d = c // num_heads
     qkv = linear(p["qkv"], x).reshape(b, n, 3, num_heads, d)
     q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B,H,N,D]
-    o = multi_head_attention(q, k, v, impl=attn_impl)
+    o = multi_head_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
     o = jnp.moveaxis(o, 1, 2).reshape(b, n, c)
     return linear(p["proj"], o)
 
@@ -144,9 +145,11 @@ def vit_block_init(key, dim: int, *, mlp_ratio: float = 4.0, ffn: str = "mlp",
 
 
 def vit_block(p: dict, x: jax.Array, *, num_heads: int, ffn: str = "mlp",
-              attn_impl: str | None = None) -> jax.Array:
+              attn_impl: str | None = None,
+              kv_len: int | None = None) -> jax.Array:
     h = self_attention(p["attn"], layer_norm(p["norm1"], x),
-                       num_heads=num_heads, attn_impl=attn_impl)
+                       num_heads=num_heads, attn_impl=attn_impl,
+                       kv_len=kv_len)
     if "ls1" in p:
         h = h * p["ls1"]["gamma"].astype(h.dtype)
     x = x + h

@@ -10,9 +10,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .flash_attention import mha, mha_reference
+from .flash_attention import mha, mha_reference, pad_seq_len
 
-__all__ = ["multi_head_attention", "default_attn_impl"]
+__all__ = ["multi_head_attention", "default_attn_impl", "pad_seq_len"]
 
 
 def default_attn_impl() -> str:
@@ -23,13 +23,17 @@ def default_attn_impl() -> str:
     return "pallas" if platform == "tpu" else "xla"
 
 
-def multi_head_attention(q, k, v, *, impl: str | None = None):
-    """Attention over [B, H, N, D] tensors; returns [B, H, Nq, D]."""
+def multi_head_attention(q, k, v, *, impl: str | None = None,
+                         kv_len: int | None = None):
+    """Attention over [B, H, N, D] tensors; returns [B, H, Nq, D].
+
+    `kv_len`: true length for model-level pre-padded sequences (see
+    `flash_attention.mha`); keys beyond it are masked on every impl."""
     impl = impl or default_attn_impl()
     if impl == "pallas":
-        return mha(q, k, v)
+        return mha(q, k, v, kv_len=kv_len)
     if impl == "pallas-interpret":
-        return mha(q, k, v, interpret=True)
+        return mha(q, k, v, interpret=True, kv_len=kv_len)
     if impl == "xla":
-        return mha_reference(q, k, v)
+        return mha_reference(q, k, v, kv_len=kv_len)
     raise ValueError(f"unknown attention impl: {impl}")

@@ -183,6 +183,53 @@ def test_pallas_attention_grad_matches_xla(rng):
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_pallas_prepadded_kv_len_matches_xla(rng):
+    """Model-level pre-padding: padded q/k/v + kv_len == unpadded XLA."""
+    b, h, n, d = 1, 2, 37, 64
+    from amodal_depth_anything_tpu.ops.flash_attention import pad_seq_len
+    n_pad = pad_seq_len(n)
+    assert n_pad > n
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+               for _ in range(3))
+    pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+    qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
+    ref = mha_reference(q, k, v)
+    out = mha(qp, kp, vp, interpret=True, kv_len=n)[:, :, :n]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # grads: cotangents zero on padded rows (the model-level contract)
+    def loss_pallas(q, k, v):
+        return jnp.sum(mha(q, k, v, interpret=True, kv_len=n)[:, :, :n] ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(qp, kp, vp)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        # padded rows must carry exactly zero grad (qkv dW correctness)
+        np.testing.assert_array_equal(np.asarray(a[:, :, n:]), 0.0)
+        np.testing.assert_allclose(np.asarray(a[:, :, :n]), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_dinov2_padded_trunk_matches_xla(rng):
+    """The dinov2 trunk with pallas-interpret (model-level padding active)
+    matches the xla path (no padding)."""
+    model = get_model("AmodalDAv2", encoder="vitt")
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((1, HW, HW, 3), dtype=np.float32))
+    m = jnp.ones((1, HW, HW, 1), jnp.float32)
+    o = jnp.asarray(rng.random((1, HW, HW, 1), dtype=np.float32))
+    ref = model.apply(params, x, guide_mask=m, observation=o,
+                      attn_impl="xla")
+    out = model.apply(params, x, guide_mask=m, observation=o,
+                      attn_impl="pallas-interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_training_gradient_flows(rng):
     model = get_model("AmodalDAv2", encoder="vitt")
     params = model.init(jax.random.PRNGKey(0))
