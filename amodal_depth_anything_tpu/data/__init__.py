@@ -9,12 +9,15 @@ from .base_depth_dataset import (BaseDepthDataset, DatasetMode,
 from .loader import ConcatDataset, DataLoader, collate
 from .mixed_sampler import MixedBatchSampler
 from .sam_amodal_dataset import SAMAmodalDataset
+from .zero_shot_datasets import ZERO_SHOT_DATASETS
 
 __all__ = ["BaseDepthDataset", "DatasetMode", "DepthFileNameMode",
            "SAMAmodalDataset", "MixedBatchSampler", "DataLoader",
            "ConcatDataset", "collate", "get_dataset", "get_pred_name"]
 
-dataset_name_class_dict: dict[str, type] = {}
+# Unlike the reference (whose dict is empty, src/dataset/__init__.py:8),
+# the shipped zero-shot split files are actually loadable here.
+dataset_name_class_dict: dict[str, type] = dict(ZERO_SHOT_DATASETS)
 
 
 def _resolve_filenames(path: str, base_data_dir: str) -> str:
