@@ -54,6 +54,19 @@ def main():
     p_raw = jax.tree.map(lambda a: a.astype(dtype), p_raw)
     p_amodal = jax.tree.map(lambda a: a.astype(dtype), p_amodal)
 
+    int8_base = os.environ.get("AMODAL_INT8_BASE", "") == "1"
+    int8_amodal = os.environ.get("AMODAL_INT8_AMODAL", "") == "1"
+    if int8_base or int8_amodal:
+        # opt-in W8A8 serving path for the frozen trunks (ops/quant.py);
+        # NOT the default: it trades the <1e-3 parity gate for speed.
+        # Measured on v5e @1022px b8: base-only 3.35 img/s (+7.8%),
+        # both trunks 3.41 img/s.
+        from amodal_depth_anything_tpu.ops.quant import quantize_vit_trunk_int8
+        if int8_base:
+            p_raw = quantize_vit_trunk_int8(p_raw)
+        if int8_amodal:
+            p_amodal = quantize_vit_trunk_int8(p_amodal)
+
     image = jnp.zeros((batch, size, size, 3), dtype) + 127.0
     mask = jnp.zeros((batch, size, size, 1), dtype)
     mask = mask.at[:, size // 4: size // 2, size // 4: size // 2].set(1.0)
@@ -100,9 +113,11 @@ def main():
 
     # BASELINE.json north star is v5e-8 aggregate vs one A100: >=2x.
     v5e8_aggregate = img_per_sec * 8
+    quant_tag = (" int8-base" if int8_base else "") + \
+        (" int8-amodal" if int8_amodal else "")
     print(json.dumps({
         "metric": f"amodal-depth images/sec/chip @ {size}px "
-                  f"(base {base_enc} + amodal {amodal_enc}, bf16, "
+                  f"(base {base_enc} + amodal {amodal_enc}, bf16{quant_tag}, "
                   f"batch {batch}; p50 single-image {p50_ms:.0f} ms)",
         "value": round(img_per_sec, 3),
         "unit": "images/sec/chip",
