@@ -48,6 +48,13 @@ class UNetConfig:
     context_dim: int | None = 1024
     use_linear_in_transformer: bool = True
     image_size: int = 32  # informational only
+    # The reference's vanilla (non-xformers) CrossAttention rescales SELF-
+    # attention by sqrt(log(n)/log(4n)/d) instead of 1/sqrt(d)
+    # (depthfm/unet/attention.py:175-177, rescale_attention=True default),
+    # while its xformers path — the one the released environment.yaml
+    # (xformers==0.0.21) actually runs — uses the standard scale. Default
+    # False = released behavior; True mirrors the vanilla-torch fallback.
+    rescale_self_attention: bool = False
 
 
 # DepthFM checkpoint hparams (reference dfm_amodal.py:44)
@@ -260,7 +267,7 @@ def _res_block(p, x, emb):
     return skip + h
 
 
-def _cross_attention(p, x, context, num_heads, attn_impl):
+def _cross_attention(p, x, context, num_heads, attn_impl, sm_scale=None):
     b, n, c = x.shape
     ctx = x if context is None else context
     q = _lin(p["to_q"], x)
@@ -270,7 +277,7 @@ def _cross_attention(p, x, context, num_heads, attn_impl):
     q = q.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
     k = k.reshape(b, ctx.shape[1], num_heads, d).transpose(0, 2, 1, 3)
     v = v.reshape(b, ctx.shape[1], num_heads, d).transpose(0, 2, 1, 3)
-    o = multi_head_attention(q, k, v, impl=attn_impl)
+    o = multi_head_attention(q, k, v, impl=attn_impl, sm_scale=sm_scale)
     o = o.transpose(0, 2, 1, 3).reshape(b, n, num_heads * d)
     return _lin(p["to_out"], o)
 
@@ -292,10 +299,15 @@ def _spatial_transformer(p, x, context_ca, cfg: UNetConfig, attn_impl):
     else:
         y = conv2d(p["proj_in"], y.reshape(b, h, w, c),
                    padding=0).reshape(b, h * w, c)
+    self_scale = None
+    if cfg.rescale_self_attention:
+        n, dh = h * w, c // cfg.num_heads
+        self_scale = (math.log(n) / math.log(n * 4) / dh) ** 0.5
     for d in range(cfg.transformer_depth):
         blk = p["transformer_blocks"][str(d)]
         y = y + _cross_attention(blk["attn1"], _layer_norm(blk["norm1"], y),
-                                 None, cfg.num_heads, attn_impl)
+                                 None, cfg.num_heads, attn_impl,
+                                 sm_scale=self_scale)
         y = y + _cross_attention(blk["attn2"], _layer_norm(blk["norm2"], y),
                                  context_ca, cfg.num_heads, attn_impl)
         y = y + _geglu_ff(blk["ff"], _layer_norm(blk["norm3"], y))

@@ -24,16 +24,18 @@ def default_attn_impl() -> str:
 
 
 def multi_head_attention(q, k, v, *, impl: str | None = None,
-                         kv_len: int | None = None):
+                         kv_len: int | None = None,
+                         sm_scale: float | None = None):
     """Attention over [B, H, N, D] tensors; returns [B, H, Nq, D].
 
     `kv_len`: true length for model-level pre-padded sequences (see
-    `flash_attention.mha`); keys beyond it are masked on every impl."""
+    `flash_attention.mha`); keys beyond it are masked on every impl.
+    `sm_scale`: softmax scale override (default 1/sqrt(D))."""
     impl = impl or default_attn_impl()
     if impl == "pallas":
-        return mha(q, k, v, kv_len=kv_len)
+        return mha(q, k, v, kv_len=kv_len, sm_scale=sm_scale)
     if impl == "pallas-interpret":
-        return mha(q, k, v, interpret=True, kv_len=kv_len)
+        return mha(q, k, v, interpret=True, kv_len=kv_len, sm_scale=sm_scale)
     if impl == "xla":
-        return mha_reference(q, k, v, kv_len=kv_len)
+        return mha_reference(q, k, v, kv_len=kv_len, sm_scale=sm_scale)
     raise ValueError(f"unknown attention impl: {impl}")
