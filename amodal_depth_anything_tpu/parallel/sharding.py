@@ -12,6 +12,11 @@ Megatron-style by matching parameter-tree paths:
 XLA then emits exactly the two all-reduces per block Megatron needs, over
 ICI. Everything else (embeddings, norms, conv decoder) replicates — the
 DPT decoder is batch-bound, not weight-bound.
+
+FSDP (``fsdp=True``): ZeRO-3-style sharding of parameters + optimizer
+state over the ``data`` axis, composing with the TP rules; see
+`_fsdp_extend`. The reference has no equivalent (DDP only — every rank
+holds a full replica + full Adam moments).
 """
 
 from __future__ import annotations
@@ -39,18 +44,59 @@ def _path_str(path) -> str:
         .strip("[]")
 
 
-def param_sharding(mesh: Mesh, params, *, tensor_parallel: bool | None = None):
-    """NamedSharding pytree for a param tree; TP rules apply iff the mesh's
-    model axis is >1 (or explicitly requested)."""
+# Leaves smaller than this replicate even under FSDP: gathering a few-KB
+# norm scale costs more in collective latency than the memory it saves.
+FSDP_MIN_ELEMENTS = 2 ** 16
+
+
+def _fsdp_extend(spec: P, leaf, path_s: str, data_size: int) -> P:
+    """Add 'data' sharding to `spec` on the largest free, divisible axis.
+
+    ZeRO-3 equivalent: parameters (and, because the trainers place
+    optimizer state on the param shardings, the optimizer moments too)
+    live sharded over the data axis; XLA's SPMD partitioner inserts the
+    per-use all-gather and the reduce-scatter on the gradients — the
+    collectives DeepSpeed/FSDP hand-schedule (reference trains DDP-only,
+    every rank holding a full replica: train.py:38-40).
+
+    Axis 0 of scan-stacked block params ([L, ...]) is never sharded: lax.scan
+    slices layer-by-layer along it, and sharding L would serialize a gather
+    per layer step."""
+    if leaf.size < FSDP_MIN_ELEMENTS or data_size <= 1:
+        return spec
+    entries = list(spec) + [None] * (leaf.ndim - len(spec))
+    start = 1 if ("blocks" in path_s and leaf.ndim >= 2) else 0
+    candidates = [i for i in range(start, leaf.ndim)
+                  if entries[i] is None and leaf.shape[i] % data_size == 0]
+    if not candidates:
+        return spec
+    axis = max(candidates, key=lambda i: leaf.shape[i])
+    entries[axis] = "data"
+    return P(*entries)
+
+
+def param_sharding(mesh: Mesh, params, *, tensor_parallel: bool | None = None,
+                   fsdp: bool = False):
+    """NamedSharding pytree for a param tree.
+
+    TP rules apply iff the mesh's model axis is >1 (or explicitly
+    requested). `fsdp=True` additionally shards every large-enough leaf
+    over the 'data' axis (ZeRO-3 style), composing with TP: a qkv kernel
+    [L, D, 3D] on a 4x2 mesh becomes P(None, 'data', 'model')."""
     tp = (mesh.shape["model"] > 1) if tensor_parallel is None else tensor_parallel
+    data_size = mesh.shape["data"]
 
     def rule(path, leaf):
+        ps = _path_str(path)
+        spec = P()
         if tp:
-            ps = _path_str(path)
-            for frag, spec in _TP_RULES:
+            for frag, tp_spec in _TP_RULES:
                 if frag in ps:
-                    return NamedSharding(mesh, spec)
-        return NamedSharding(mesh, P())
+                    spec = tp_spec
+                    break
+        if fsdp:
+            spec = _fsdp_extend(spec, leaf, ps, data_size)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(rule, params)
 

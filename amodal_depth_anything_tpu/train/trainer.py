@@ -90,6 +90,9 @@ class TrainerConfig:
     compute_dtype: str = "float32"  # 'bfloat16' for TPU speed
     remat: bool = True
     attn_impl: str | None = None
+    # ZeRO-3-style parameter/optimizer sharding over the mesh's data axis
+    # (parallel/sharding.py::_fsdp_extend); composes with the model axis.
+    fsdp: bool = False
 
 
 def _strategy_loss(loss_fn, strategy: str, pred, gt, valid, guide, invisible,
@@ -139,7 +142,7 @@ class DiscriminativeTrainer:
             accumulation_steps=cfg.accumulation_steps)
         if params is None:
             params = model.init(jax.random.PRNGKey(seed))
-        params = shard_params(self.mesh, params)
+        params = shard_params(self.mesh, params, fsdp=cfg.fsdp)
         self.state = create_train_state(params, self.tx, mesh=self.mesh)
         self.loss_fn = get_loss(cfg.loss_name, **(cfg.loss_kwargs or {}))
 
