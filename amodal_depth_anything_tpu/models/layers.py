@@ -86,8 +86,13 @@ def mlp_init(key, dim: int, hidden: int) -> dict:
     return {"fc1": linear_init(k1, dim, hidden), "fc2": linear_init(k2, hidden, dim)}
 
 
+def mlp_hidden(p: dict, x: jax.Array) -> jax.Array:
+    """Input of the FFN's last projection (exposed for int8 calibration)."""
+    return gelu(linear(p["fc1"], x))
+
+
 def mlp(p: dict, x: jax.Array) -> jax.Array:
-    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+    return linear(p["fc2"], mlp_hidden(p, x))
 
 
 def swiglu_hidden_dim(dim: int, mlp_ratio: float = 4.0) -> int:
@@ -100,10 +105,15 @@ def swiglu_init(key, dim: int, hidden: int) -> dict:
     return {"w12": linear_init(k1, dim, 2 * hidden), "w3": linear_init(k2, hidden, dim)}
 
 
-def swiglu(p: dict, x: jax.Array) -> jax.Array:
+def swiglu_hidden(p: dict, x: jax.Array) -> jax.Array:
+    """Input of the FFN's last projection (exposed for int8 calibration)."""
     x12 = linear(p["w12"], x)
     x1, x2 = jnp.split(x12, 2, axis=-1)
-    return linear(p["w3"], jax.nn.silu(x1) * x2)
+    return jax.nn.silu(x1) * x2
+
+
+def swiglu(p: dict, x: jax.Array) -> jax.Array:
+    return linear(p["w3"], swiglu_hidden(p, x))
 
 
 # ------------------------------------------------------------------- attention
@@ -113,15 +123,24 @@ def attention_init(key, dim: int) -> dict:
     return {"qkv": linear_init(k1, dim, 3 * dim), "proj": linear_init(k2, dim, dim)}
 
 
-def self_attention(p: dict, x: jax.Array, *, num_heads: int,
+def attention_core(p: dict, x: jax.Array, *, num_heads: int,
                    attn_impl: str | None = None,
                    kv_len: int | None = None) -> jax.Array:
+    """qkv + attention, WITHOUT the output projection (the pre-proj
+    activation is what int8 calibration needs to bound)."""
     b, n, c = x.shape
     d = c // num_heads
     qkv = linear(p["qkv"], x).reshape(b, n, 3, num_heads, d)
     q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B,H,N,D]
     o = multi_head_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
-    o = jnp.moveaxis(o, 1, 2).reshape(b, n, c)
+    return jnp.moveaxis(o, 1, 2).reshape(b, n, c)
+
+
+def self_attention(p: dict, x: jax.Array, *, num_heads: int,
+                   attn_impl: str | None = None,
+                   kv_len: int | None = None) -> jax.Array:
+    o = attention_core(p, x, num_heads=num_heads, attn_impl=attn_impl,
+                       kv_len=kv_len)
     return linear(p["proj"], o)
 
 

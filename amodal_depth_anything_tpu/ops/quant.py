@@ -19,6 +19,11 @@ Scheme (accuracy-conservative, calibration-free):
     (attention outputs, gelu/silu activations) are unbounded without
     data calibration and stay bf16.
 
+Calibrated mode (`act_stats=` from `collect_trunk_act_stats`): one
+instrumented forward records per-layer amax of all four matmul inputs;
+data-driven scales then cover attn.proj and fc2/w3 too, lifting int8
+coverage to ~100% of trunk matmul FLOPs.
+
 Quantized params keep the pytree structure; `layers.linear` dispatches
 on `w.dtype == int8`, so `apply_*` works unchanged (scan-stacked trunks
 included). This path intentionally trades the <1e-3 reference-parity
@@ -31,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["quantize_linear_int8", "quantize_vit_trunk_int8",
+           "collect_trunk_act_stats", "calibrate_amodal_dav2",
            "int8_linear", "ACT_SIGMA"]
 
 ACT_SIGMA = 6.0
@@ -78,25 +84,113 @@ def _ln_act_scale(ln: dict, sigma: float) -> jax.Array:
     return jnp.maximum(bound / 127.0, 1e-9)
 
 
-def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA) -> dict:
-    """Quantize the LN-fed matmuls of a dinov2 param tree in place
-    (returns a new tree; everything else is shared).
+def collect_trunk_act_stats(params: dict, cfg, x: jax.Array,
+                            guide: jax.Array | None = None, *,
+                            attn_impl: str | None = None) -> dict:
+    """One instrumented forward over the ViT trunk; per-layer amax of the
+    four matmul inputs.
+
+    `params` is the full model tree (with `backbone`), `cfg` a ViTConfig,
+    `x` a calibration image batch [B,H,W,3] ALREADY preprocessed the way
+    the model ingests it (apply_amodal_dav2 normalizes internally, so
+    pass `_normalize(x)` — or use `calibrate_amodal_dav2` below which
+    handles it). Returns {"qkv_in","proj_in","fc1_in","fc2_in"}: [L]
+    f32 amax arrays for `quantize_vit_trunk_int8(act_stats=...)`.
+
+    Reuses the exact block sub-ops (`layer_norm`/`attention_core`/
+    `mlp_hidden`/`swiglu_hidden`/`linear`) so the instrumented math is the
+    deployed math; `tests/test_quant.py` pins the final carry against
+    `dinov2_intermediate_layers` to catch drift."""
+    from ..models.dinov2 import prepare_tokens
+    from ..models.layers import (attention_core, layer_norm, linear,
+                                 mlp_hidden, swiglu_hidden)
+
+    backbone = params["backbone"]
+    tokens = prepare_tokens(backbone, cfg, x, guide)
+    hidden_fn = mlp_hidden if cfg.ffn == "mlp" else swiglu_hidden
+    last_key = "fc2" if cfg.ffn == "mlp" else "w3"
+
+    def block_fn(carry, p):
+        t = carry
+        n1 = layer_norm(p["norm1"], t)
+        o = attention_core(p["attn"], n1, num_heads=cfg.num_heads,
+                           attn_impl=attn_impl)
+        h = linear(p["attn"]["proj"], o)
+        if "ls1" in p:
+            h = h * p["ls1"]["gamma"].astype(h.dtype)
+        t = t + h
+        n2 = layer_norm(p["norm2"], t)
+        hid = hidden_fn(p["mlp"], n2)
+        h = linear(p["mlp"][last_key], hid)
+        if "ls2" in p:
+            h = h * p["ls2"]["gamma"].astype(h.dtype)
+        t = t + h
+
+        def amax(a):
+            return jnp.max(jnp.abs(a)).astype(jnp.float32)
+
+        return t, (amax(n1), amax(o), amax(n2), amax(hid))
+
+    _, (qkv_in, proj_in, fc1_in, fc2_in) = jax.lax.scan(
+        block_fn, tokens, backbone["blocks"])
+    return {"qkv_in": qkv_in, "proj_in": proj_in,
+            "fc1_in": fc1_in, "fc2_in": fc2_in}
+
+
+def calibrate_amodal_dav2(params: dict, cfg, x: jax.Array, *,
+                          guide_rgb=None, guide_mask=None, observation=None,
+                          attn_impl: str | None = None) -> dict:
+    """AmodalDAv2 front-end for `collect_trunk_act_stats`: applies the
+    model's own ImageNet normalization and guide concat (x in [0,1])."""
+    from ..models.amodal_dav2 import _normalize, build_guide
+    guide = None if cfg.raw else build_guide(cfg, guide_rgb, guide_mask,
+                                             observation)
+    return collect_trunk_act_stats(params, cfg.vit, _normalize(x), guide,
+                                   attn_impl=attn_impl)
+
+
+def _stat_scale(amax: jax.Array, margin: float) -> jax.Array:
+    return jnp.maximum(jnp.asarray(amax, jnp.float32) * margin / 127.0, 1e-9)
+
+
+def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA,
+                            act_stats: dict | None = None,
+                            margin: float = 1.0) -> dict:
+    """Quantize the matmuls of a dinov2 param tree (returns a new tree;
+    everything else is shared).
 
     `params` is the full model tree with `backbone.blocks.{norm1, attn.qkv,
-    norm2, mlp.(fc1|w12)}` stacked [L, ...]."""
+    norm2, mlp.(fc1|w12)}` stacked [L, ...].
+
+    Without `act_stats`: calibration-free — only the LN-fed matmuls
+    (qkv + first FFN projection), activation scales bounded from the LN
+    affine params. With `act_stats` (from `collect_trunk_act_stats`):
+    data-driven per-layer scales for all FOUR matmul families, including
+    attn.proj and fc2/w3 whose inputs have no a-priori bound. `margin`
+    (>1 recommended when calibrating on few batches) widens the recorded
+    amax before scaling."""
     params = dict(params)
     backbone = dict(params["backbone"])
     blocks = dict(backbone["blocks"])
 
-    s_qkv = _ln_act_scale(blocks["norm1"], sigma)      # [L]
+    s_qkv = (_stat_scale(act_stats["qkv_in"], margin) if act_stats
+             else _ln_act_scale(blocks["norm1"], sigma))   # [L]
     attn = dict(blocks["attn"])
     attn["qkv"] = quantize_linear_int8(attn["qkv"], s_qkv)
+    if act_stats is not None:
+        attn["proj"] = quantize_linear_int8(
+            attn["proj"], _stat_scale(act_stats["proj_in"], margin))
     blocks["attn"] = attn
 
-    s_ffn = _ln_act_scale(blocks["norm2"], sigma)      # [L]
+    s_ffn = (_stat_scale(act_stats["fc1_in"], margin) if act_stats
+             else _ln_act_scale(blocks["norm2"], sigma))   # [L]
     mlp = dict(blocks["mlp"])
     first = "fc1" if "fc1" in mlp else "w12"
     mlp[first] = quantize_linear_int8(mlp[first], s_ffn)
+    if act_stats is not None:
+        last = "fc2" if "fc2" in mlp else "w3"
+        mlp[last] = quantize_linear_int8(
+            mlp[last], _stat_scale(act_stats["fc2_in"], margin))
     blocks["mlp"] = mlp
 
     backbone["blocks"] = blocks

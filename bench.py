@@ -54,22 +54,39 @@ def main():
     p_raw = jax.tree.map(lambda a: a.astype(dtype), p_raw)
     p_amodal = jax.tree.map(lambda a: a.astype(dtype), p_amodal)
 
+    image = jnp.zeros((batch, size, size, 3), dtype) + 127.0
+    mask = jnp.zeros((batch, size, size, 1), dtype)
+    mask = mask.at[:, size // 4: size // 2, size // 4: size // 2].set(1.0)
+
     int8_base = os.environ.get("AMODAL_INT8_BASE", "") == "1"
     int8_amodal = os.environ.get("AMODAL_INT8_AMODAL", "") == "1"
+    int8_calib = os.environ.get("AMODAL_INT8_CALIB", "") == "1"
     if int8_base or int8_amodal:
         # opt-in W8A8 serving path for the frozen trunks (ops/quant.py);
         # NOT the default: it trades the <1e-3 parity gate for speed.
         # Measured on v5e @1022px b8: base-only 3.35 img/s (+7.8%),
-        # both trunks 3.41 img/s.
-        from amodal_depth_anything_tpu.ops.quant import quantize_vit_trunk_int8
-        if int8_base:
-            p_raw = quantize_vit_trunk_int8(p_raw)
-        if int8_amodal:
-            p_amodal = quantize_vit_trunk_int8(p_amodal)
+        # both trunks 3.41 img/s. AMODAL_INT8_CALIB=1 additionally runs a
+        # one-batch calibration forward so attn.proj + fc2/w3 quantize too
+        # (~100% of trunk matmul FLOPs int8 instead of 58-69%).
+        from amodal_depth_anything_tpu.ops.quant import (
+            calibrate_amodal_dav2, quantize_vit_trunk_int8)
+        rgb01 = image / 255.0
 
-    image = jnp.zeros((batch, size, size, 3), dtype) + 127.0
-    mask = jnp.zeros((batch, size, size, 1), dtype)
-    mask = mask.at[:, size // 4: size // 2, size // 4: size // 2].set(1.0)
+        def quantize(p, cfg, **guides):
+            if not int8_calib:
+                return quantize_vit_trunk_int8(p)
+            stats = jax.jit(
+                lambda p_, x_: calibrate_amodal_dav2(p_, cfg, x_, **guides)
+            )(p, rgb01)
+            return quantize_vit_trunk_int8(p, act_stats=stats, margin=1.25)
+
+        if int8_base:
+            p_raw = quantize(p_raw, raw_cfg)
+        if int8_amodal:
+            p_amodal = quantize(
+                p_amodal, amodal_cfg,
+                guide_mask=mask * 2.0 - 1.0,
+                observation=jnp.zeros_like(mask))
 
     def run():
         base, blended = amodal_depth_graph(

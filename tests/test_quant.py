@@ -7,7 +7,9 @@ import jax
 import jax.numpy as jnp
 
 from amodal_depth_anything_tpu.models.layers import linear
-from amodal_depth_anything_tpu.ops.quant import (int8_linear,
+from amodal_depth_anything_tpu.ops.quant import (calibrate_amodal_dav2,
+                                                 collect_trunk_act_stats,
+                                                 int8_linear,
                                                  quantize_linear_int8,
                                                  quantize_vit_trunk_int8)
 
@@ -48,3 +50,72 @@ def test_quantized_trunk_forward_close(rng):
     assert np.isfinite(out).all()
     assert np.abs(out - ref).max() < 0.05, np.abs(out - ref).max()
     assert np.abs(out - ref).mean() < 0.01
+
+
+def test_act_stats_instrumented_forward_matches_trunk(rng):
+    """The calibration scan reuses the deployed block math: its final
+    carry must equal the trunk's pre-norm output bit-for-bit."""
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (DAV2Config,
+                                                              init_amodal_dav2)
+    from amodal_depth_anything_tpu.models.dinov2 import (_run_blocks,
+                                                         prepare_tokens)
+
+    cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    params = init_amodal_dav2(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.random((1, 56, 56, 3), dtype=np.float32))
+
+    stats = collect_trunk_act_stats(params, cfg.vit, x, attn_impl="xla")
+    depth = cfg.vit.depth
+    for k in ("qkv_in", "proj_in", "fc1_in", "fc2_in"):
+        assert stats[k].shape == (depth,)
+        assert (np.asarray(stats[k]) > 0).all()
+
+    # drift check against the real trunk
+    tokens = prepare_tokens(params["backbone"], cfg.vit, x, None)
+    ref = _run_blocks(params["backbone"]["blocks"], tokens, [depth - 1],
+                      cfg.vit, attn_impl="xla", remat=False)[-1]
+
+    from amodal_depth_anything_tpu.models.layers import (attention_core,
+                                                         layer_norm, linear,
+                                                         mlp_hidden)
+
+    def block_fn(t, p):
+        n1 = layer_norm(p["norm1"], t)
+        o = attention_core(p["attn"], n1, num_heads=cfg.vit.num_heads,
+                           attn_impl="xla")
+        h = linear(p["attn"]["proj"], o)
+        if "ls1" in p:
+            h = h * p["ls1"]["gamma"].astype(h.dtype)
+        t = t + h
+        n2 = layer_norm(p["norm2"], t)
+        h = linear(p["mlp"]["fc2"], mlp_hidden(p["mlp"], n2))
+        if "ls2" in p:
+            h = h * p["ls2"]["gamma"].astype(h.dtype)
+        return t + h, None
+
+    carry, _ = jax.lax.scan(block_fn, tokens, params["backbone"]["blocks"])
+    np.testing.assert_array_equal(np.asarray(carry), np.asarray(ref))
+
+
+def test_calibrated_trunk_quantizes_all_four_families(rng):
+    from amodal_depth_anything_tpu.models import get_model
+    from amodal_depth_anything_tpu.models.amodal_dav2 import DAV2Config
+
+    model = get_model("DepthAnythingV2Raw", encoder="vitt")
+    cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((2, 56, 56, 3), dtype=np.float32))
+
+    stats = calibrate_amodal_dav2(params, cfg, x, attn_impl="xla")
+    params_q = quantize_vit_trunk_int8(params, act_stats=stats, margin=1.1)
+    blocks = params_q["backbone"]["blocks"]
+    for fam in (blocks["attn"]["qkv"], blocks["attn"]["proj"],
+                blocks["mlp"]["fc1"], blocks["mlp"]["fc2"]):
+        assert fam["w"].dtype == jnp.int8
+        assert fam["act_scale"].shape == (cfg.vit.depth,)
+
+    ref = np.asarray(model.apply(params, x))
+    out = np.asarray(model.apply(params_q, x))
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).max() < 0.08, np.abs(out - ref).max()
+    assert np.abs(out - ref).mean() < 0.02
