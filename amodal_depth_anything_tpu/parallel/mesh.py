@@ -11,6 +11,8 @@ Axes:
   * ``data``  — batch sharding (DDP equivalent).
   * ``model`` — optional tensor parallelism for the ViT-G trunk
     (attention heads / FFN hidden sharded Megatron-style).
+  * ``pipe``  — optional pipeline stages for the trunk (GPipe schedule,
+    `parallel/pipeline.py`); size 1 (no-op) unless requested.
 
 The reference's model sizes (<=1.1B params) fit one chip, so the default
 mesh is (n_devices, 1) — pure DP — but the `model` axis is wired through
@@ -30,19 +32,26 @@ from jax.sharding import Mesh
 class MeshConfig:
     data: int = -1   # -1 = all remaining devices
     model: int = 1
+    pipe: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
         model = max(1, self.model)
-        data = self.data if self.data > 0 else n_devices // model
-        if data * model != n_devices:
+        pipe = max(1, self.pipe)
+        data = self.data if self.data > 0 else n_devices // (model * pipe)
+        if data * model * pipe != n_devices:
             raise ValueError(
-                f"mesh {data}x{model} != {n_devices} available devices")
-        return data, model
+                f"mesh {data}x{model}x{pipe} != {n_devices} available devices")
+        return data, model, pipe
 
 
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     cfg = cfg or MeshConfig()
     devices = devices if devices is not None else jax.devices()
-    data, model = cfg.resolve(len(devices))
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+    data, model, pipe = cfg.resolve(len(devices))
+    if pipe == 1:
+        # keep the 2-axis layout for the common dp(+tp) case: existing
+        # sharding rules and tests address mesh.shape['data'/'model']
+        arr = np.asarray(devices).reshape(data, model)
+        return Mesh(arr, axis_names=("data", "model"))
+    arr = np.asarray(devices).reshape(pipe, data, model)
+    return Mesh(arr, axis_names=("pipe", "data", "model"))
