@@ -41,12 +41,14 @@ def _build_amodal_dav2(*, encoder: str = "vitl",
     # init and apply are jitted: op-by-op eager dispatch pays a fixed
     # per-compile cost, while one fused program compiles once and lets XLA
     # fuse across the whole forward.
-    @functools.partial(jax.jit, static_argnames=("attn_impl", "remat"))
+    @functools.partial(jax.jit, static_argnames=("attn_impl", "remat",
+                                                 "act_sharding"))
     def _apply(params, x, guide_rgb=None, guide_mask=None, observation=None,
-               attn_impl=None, remat=False):
+               attn_impl=None, remat=False, act_sharding=None):
         return apply_amodal_dav2(params, cfg, x, guide_rgb=guide_rgb,
                                  guide_mask=guide_mask, observation=observation,
-                                 attn_impl=attn_impl, remat=remat)
+                                 attn_impl=attn_impl, remat=remat,
+                                 act_sharding=act_sharding)
 
     return Model(
         name="AmodalDAv2",

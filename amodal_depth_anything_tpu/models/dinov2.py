@@ -187,9 +187,20 @@ def prepare_tokens(params: dict, cfg: ViTConfig, x: jax.Array,
 
 def _run_blocks(stacked: dict, x: jax.Array, taps: Sequence[int], cfg: ViTConfig,
                 *, attn_impl: str | None, remat: bool,
-                kv_len: int | None = None) -> list[jax.Array]:
-    """Scan the trunk in segments that end at each tap depth."""
+                kv_len: int | None = None,
+                act_sharding=None) -> list[jax.Array]:
+    """Scan the trunk in segments that end at each tap depth.
+
+    `act_sharding` (NamedSharding for the [B, N, D] token stream, e.g.
+    P('data', 'model', None)): sequence parallelism — the residual/LN
+    segments between matmuls live token-sharded over the tensor axis;
+    GSPMD turns the Megatron all-reduces into all-gather + reduce-scatter
+    pairs around the attention/FFN matmuls, cutting activation memory by
+    the tp degree in the non-matmul segments (the reference's trainer has
+    no equivalent; DDP replicates everything)."""
     def block_fn(x, p):
+        if act_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, act_sharding)
         return vit_block(p, x, num_heads=cfg.num_heads, ffn=cfg.ffn,
                          attn_impl=attn_impl, kv_len=kv_len), None
 
@@ -217,6 +228,7 @@ def dinov2_intermediate_layers(
     *,
     attn_impl: str | None = None,
     remat: bool = False,
+    act_sharding=None,
 ) -> list[tuple[jax.Array, jax.Array]]:
     """Forward returning [(patch_tokens [B,N,D], cls [B,D])] per tap, final-
     layernormed (reference `get_intermediate_layers(..., norm=True,
@@ -239,7 +251,8 @@ def dinov2_intermediate_layers(
             tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n_true), (0, 0)))
             kv_len = n_true
     raw = _run_blocks(params["blocks"], tokens, taps, cfg,
-                      attn_impl=impl, remat=remat, kv_len=kv_len)
+                      attn_impl=impl, remat=remat, kv_len=kv_len,
+                      act_sharding=act_sharding)
     out = []
     for r in raw:
         n = layer_norm(params["norm"], r[:, :n_true])

@@ -93,6 +93,10 @@ class TrainerConfig:
     # ZeRO-3-style parameter/optimizer sharding over the mesh's data axis
     # (parallel/sharding.py::_fsdp_extend); composes with the model axis.
     fsdp: bool = False
+    # Megatron-SP: trunk token stream sharded over the model axis between
+    # matmuls (models/dinov2.py::_run_blocks act_sharding). No-op unless
+    # the mesh's model axis is >1.
+    sequence_parallel: bool = False
 
 
 def _strategy_loss(loss_fn, strategy: str, pred, gt, valid, guide, invisible,
@@ -170,12 +174,24 @@ class DiscriminativeTrainer:
 
     # ------------------------------------------------------------ jit builds
 
+    def _act_sharding(self):
+        """Sequence-parallel token sharding when enabled and meaningful."""
+        if not self.cfg.sequence_parallel:
+            return None
+        if self.mesh.shape.get("model", 1) <= 1:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(self.mesh, P("data", "model", None))
+
     def _build_train_step(self):
         cfg = self.cfg
         model = self.model
         loss_fn = self.loss_fn
         tx = self.tx
         dtype = jnp.dtype(cfg.compute_dtype)
+        # only ViT-trunk models accept act_sharding; omit it otherwise
+        sp_kw = ({} if self._act_sharding() is None
+                 else {"act_sharding": self._act_sharding()})
 
         def loss_of(params, batch):
             rgb = (batch["rgb_int"] / 255.0).astype(dtype)
@@ -184,7 +200,7 @@ class DiscriminativeTrainer:
                 guide_rgb=batch["guide_rgb_norm"].astype(dtype),
                 guide_mask=(batch["guide"] * 2.0 - 1.0).astype(dtype),
                 observation=(batch["depth_observation"] * 2.0 - 1.0).astype(dtype),
-                attn_impl=cfg.attn_impl, remat=cfg.remat)
+                attn_impl=cfg.attn_impl, remat=cfg.remat, **sp_kw)
             pred = pred.astype(jnp.float32)
             gt = batch[cfg.gt_depth_type]
             if pred.shape[1:3] != gt.shape[1:3]:

@@ -109,6 +109,27 @@ def test_fsdp_matches_replicated_training(sam_tree, monkeypatch):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_sequence_parallel_matches_baseline(sam_tree):
+    """Megatron-SP activation sharding changes layout, not math: training
+    losses must match the plain TP run on the same 4x2 mesh."""
+    root, list_path = sam_tree
+    model = get_model("AmodalDAv2", encoder="vitt")
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+
+    losses = {}
+    for sp in (False, True):
+        trainer = DiscriminativeTrainer(
+            _cfg(sequence_parallel=sp), model, _loader(root, list_path),
+            mesh=mesh)
+        trainer.train()
+        assert trainer.effective_iter == 2
+        losses[sp] = trainer.train_metrics.avg("loss")
+        if sp:
+            assert trainer._train_step._cache_size() == 1
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_shard_params_fsdp_places_leaves(sam_tree, monkeypatch):
     from amodal_depth_anything_tpu.parallel import sharding as sharding_mod
     monkeypatch.setattr(sharding_mod, "FSDP_MIN_ELEMENTS", 1024)
