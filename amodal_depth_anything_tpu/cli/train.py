@@ -106,7 +106,11 @@ def main(argv=None) -> None:
     from ..data import DataLoader, DatasetMode, MixedBatchSampler, \
         ConcatDataset, get_dataset
     from ..models import get_model
-    from ..parallel import make_mesh
+    from ..parallel import initialize as distributed_initialize, make_mesh
+
+    # multi-host launches (JAX_COORDINATOR_ADDRESS / SLURM env) bring up
+    # the process group before any device use; no-op on single host
+    distributed_initialize()
     from ..train import get_trainer_cls
     from ..utils.config import recursive_load_config
     from ..utils.depth_transform import get_depth_normalizer

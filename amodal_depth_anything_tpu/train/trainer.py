@@ -457,6 +457,12 @@ class DiscriminativeTrainer:
     def save_checkpoint(self, tag: str) -> None:
         if not self.out_dir_ckpt:
             return
+        from ..parallel import is_main_process, sync_processes
+        if not is_main_process():
+            # multi-host: rank 0 writes, everyone meets at the barrier
+            # (reference wait_for_everyone, discriminative_trainer.py:353)
+            sync_processes(f"ckpt_{tag}")
+            return
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(self.out_dir_ckpt, tag))
         tree = {
@@ -475,6 +481,7 @@ class DiscriminativeTrainer:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, tree, force=True)
         LOGGER.info("saved checkpoint %s", path)
+        sync_processes(f"ckpt_{tag}")
 
     def load_checkpoint(self, path: str, *, resume_training: bool = True) -> None:
         import orbax.checkpoint as ocp

@@ -40,6 +40,7 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     size = 1022 if on_tpu else 56
     batch = 8 if on_tpu else 1
+    batch = int(os.environ.get("AMODAL_BENCH_BATCH", batch))
     base_enc = "vitg" if on_tpu else "vitt"
     amodal_enc = "vitl" if on_tpu else "vitt"
     iters = 10 if on_tpu else 2
