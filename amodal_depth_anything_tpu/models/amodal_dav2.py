@@ -129,12 +129,14 @@ def apply_amodal_dav2(params: dict, cfg: DAV2Config, x: jax.Array, *,
 
 
 def apply_raw_dav2(params: dict, cfg: DAV2Config, x: jax.Array, *,
-                   attn_impl: str | None = None) -> jax.Array:
+                   attn_impl: str | None = None,
+                   act_sharding=None) -> jax.Array:
     """Base-depth predictor: [B,H,W,3] in [0,1] -> [B,H',W'] relative depth.
 
     Note: unlike AmodalDAv2, the reference raw path normalizes on the host
     before the model (`infer.py:19`); we fold it here for one fused graph.
     """
     assert cfg.raw
-    depth = apply_amodal_dav2(params, cfg, x, attn_impl=attn_impl)
+    depth = apply_amodal_dav2(params, cfg, x, attn_impl=attn_impl,
+                              act_sharding=act_sharding)
     return depth[..., 0]

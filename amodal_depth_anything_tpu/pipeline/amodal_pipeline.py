@@ -36,19 +36,25 @@ __all__ = ["amodal_depth_graph", "AmodalDepthPipeline"]
 
 
 @functools.partial(jax.jit, static_argnames=("raw_cfg", "amodal_cfg", "size",
-                                             "attn_impl"))
+                                             "attn_impl", "act_sharding"))
 def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
                        raw_cfg: DAV2Config, amodal_cfg: DAV2Config,
-                       size: int = 518, attn_impl: str | None = None):
+                       size: int = 518, attn_impl: str | None = None,
+                       act_sharding=None):
     """image: [B,h,w,3] float in [0,255]; mask: [B,h,w,1] float (>0 = on).
 
     Returns (base_depth [B,S,S], blended_depth [B,S,S]) in [0,1].
-    """
+
+    `act_sharding`: NamedSharding for the trunks' token streams — serving
+    scale-out: with TP-sharded params (parallel.param_sharding) the whole
+    graph runs tensor-parallel over the mesh, cutting single-image
+    latency by the tp degree (the reference can only replicate)."""
     img01 = image / 255.0
     # --- base-depth branch (bilinear resize, reference infer.py:17)
     base_in = resize2d(img01, size=(size, size), method="bilinear")
     base_depth = apply_raw_dav2(params_raw, raw_cfg, base_in,
-                                attn_impl=attn_impl)  # [B,S,S]
+                                attn_impl=attn_impl,
+                                act_sharding=act_sharding)  # [B,S,S]
     lo = jnp.min(base_depth, axis=(-1, -2), keepdims=True)
     hi = jnp.max(base_depth, axis=(-1, -2), keepdims=True)
     base_depth = (base_depth - lo) / jnp.maximum(hi - lo, 1e-8)
@@ -61,7 +67,7 @@ def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
         params_amodal, amodal_cfg, rgb,
         guide_mask=m * 2.0 - 1.0,
         observation=obs * 2.0 - 1.0,
-        attn_impl=attn_impl)  # [B,S,S,1]
+        attn_impl=attn_impl, act_sharding=act_sharding)  # [B,S,S,1]
 
     blended = median_filter_blend(pred, obs, m)
     return base_depth, blended[..., 0]
@@ -77,10 +83,26 @@ class AmodalDepthPipeline:
 
     def __init__(self, params_raw, raw_cfg: DAV2Config, params_amodal,
                  amodal_cfg: DAV2Config, *, size: int = 518,
-                 attn_impl: str | None = None, dtype=jnp.float32):
+                 attn_impl: str | None = None, dtype=jnp.float32,
+                 mesh=None):
+        """`mesh`: optional multi-chip serving mesh — both trunks' params
+        are Megatron-TP sharded over its 'model' axis and the token
+        streams constrained to it; one jit program then runs the whole
+        pipeline tensor-parallel (latency scale-out)."""
         to_dev = lambda t: jax.tree.map(lambda a: jnp.asarray(a, dtype), t)
         self.params_raw = to_dev(params_raw)
         self.params_amodal = to_dev(params_amodal)
+        self.act_sharding = None
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import shard_params
+            self.params_raw = shard_params(mesh, self.params_raw,
+                                           tensor_parallel=True)
+            self.params_amodal = shard_params(mesh, self.params_amodal,
+                                              tensor_parallel=True)
+            self.act_sharding = NamedSharding(
+                mesh, P("data", "model", None))
         self.raw_cfg, self.amodal_cfg = raw_cfg, amodal_cfg
         self.size = size
         self.attn_impl = attn_impl
@@ -115,7 +137,8 @@ class AmodalDepthPipeline:
             jnp.asarray(img, self.dtype),
             jnp.asarray(msk[..., None], self.dtype),
             raw_cfg=self.raw_cfg, amodal_cfg=self.amodal_cfg,
-            size=self.size, attn_impl=self.attn_impl)
+            size=self.size, attn_impl=self.attn_impl,
+            act_sharding=self.act_sharding)
         base, blended = np.asarray(base, np.float32), np.asarray(blended, np.float32)
         if squeeze:
             base, blended = base[0], blended[0]

@@ -75,3 +75,32 @@ def test_full_pipeline_smoke(rng, tmp_path):
                                               str(tmp_path / "out"))
     assert raw_r.shape == (80, 100, 3)
     assert (tmp_path / "out" / "img_amodal_depth_rendered.png").exists()
+
+
+def test_pipeline_tensor_parallel_serving_matches_single(rng):
+    """mesh= serving scale-out: TP-sharded params + token-sharded trunks
+    must reproduce the single-device pipeline numerically."""
+    from amodal_depth_anything_tpu.parallel import MeshConfig, make_mesh
+
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    amodal_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    params_raw = init_amodal_dav2(jax.random.PRNGKey(0), raw_cfg)
+    params_amodal = init_amodal_dav2(jax.random.PRNGKey(1), amodal_cfg)
+
+    img = (rng.random((2, 80, 100, 3)) * 255).astype(np.float32)
+    mask = np.zeros((2, 80, 100), np.float32)
+    mask[:, 20:50, 30:70] = 1.0
+
+    plain = AmodalDepthPipeline(params_raw, raw_cfg, params_amodal,
+                                amodal_cfg, size=56, attn_impl="xla")
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    tp = AmodalDepthPipeline(params_raw, raw_cfg, params_amodal, amodal_cfg,
+                             size=56, attn_impl="xla", mesh=mesh)
+    assert tp.act_sharding is not None
+    qkv = tp.params_amodal["backbone"]["blocks"]["attn"]["qkv"]["w"]
+    assert "model" in str(qkv.sharding.spec)
+
+    base_a, blend_a = plain(img, mask)
+    base_b, blend_b = tp(img, mask)
+    np.testing.assert_allclose(base_b, base_a, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(blend_b, blend_a, rtol=1e-5, atol=1e-5)
