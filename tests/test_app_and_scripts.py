@@ -58,3 +58,59 @@ def test_convert_ckp_strip(tmp_path):
     main(["strip", "--input", inp, "--output", out])
     stripped = torch.load(out, weights_only=True)
     assert list(stripped) == ["cls_token"]
+
+
+def test_colorize_depth_script(tmp_path, rng):
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.scripts.colorize_depth import main
+
+    d = (rng.random((24, 32)) * 65535).astype(np.uint16)
+    Image.fromarray(d).save(tmp_path / "0001_depth.png")
+    out_dir = tmp_path / "out"
+    main(["--input", str(tmp_path), "--out_dir", str(out_dir)])
+    rendered = np.asarray(Image.open(out_dir / "0001_depth_rendered.png"))
+    assert rendered.shape == (24, 32, 3) and rendered.dtype == np.uint8
+    assert rendered.std() > 0  # actually colorized, not constant
+
+
+def test_precomputed_eval_script(tmp_path, rng, capsys):
+    """Perfect predictions must score ~0 error / ~1 delta1 through the
+    whole load->align->bucket->track path."""
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.scripts.precomputed_eval import main
+
+    dirs = {k: tmp_path / k for k in
+            ("pred", "gt", "obs", "visible", "whole")}
+    for d in dirs.values():
+        d.mkdir()
+    for i, vis_frac in enumerate((0.9, 0.6, 0.3)):  # one per bucket
+        sid = f"{i:04d}"
+        depth = (rng.random((64, 64)) * 0.5 + 0.25)
+        u16 = (depth * 65535).astype(np.uint16)
+        whole = np.zeros((64, 64), np.uint8)
+        whole[8:56, 8:56] = 255
+        visible = np.zeros_like(whole)
+        n_rows = int(48 * vis_frac)
+        visible[8:8 + n_rows, 8:56] = 255
+        Image.fromarray(u16).save(dirs["pred"] / f"{sid}_depth.png")
+        Image.fromarray(u16).save(dirs["gt"] / f"{sid}_depth.png")
+        Image.fromarray(u16).save(dirs["obs"] / f"{sid}_depth.png")
+        Image.fromarray(visible).save(dirs["visible"] / f"{sid}_visible_mask.png")
+        Image.fromarray(whole).save(dirs["whole"] / f"{sid}_whole_mask.png")
+
+    report = tmp_path / "eval.txt"
+    main(["--pred_dir", str(dirs["pred"]), "--gt_dir", str(dirs["gt"]),
+          "--obs_dir", str(dirs["obs"]), "--visible_dir", str(dirs["visible"]),
+          "--whole_dir", str(dirs["whole"]), "--output", str(report)])
+    out = capsys.readouterr().out
+    assert "align_easy" in out and "align_diff" in out
+    assert report.exists()
+    # identical pred/gt -> rmse ~0, delta1 ~1 in every populated bucket
+    import re
+    rows = [list(map(float, re.findall(r"-?\d+\.\d+", line)))
+            for line in out.splitlines() if re.search(r"^\s*-?\d+\.\d+", line)]
+    for vals in rows:
+        rmse, log10, d1 = vals
+        assert rmse < 1e-4 and d1 > 0.999
