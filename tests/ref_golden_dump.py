@@ -117,6 +117,35 @@ def dump_amodal_dav2_vits(out_path):
     print(f"amodal_dav2_vits: out std {float(out.std()):.5f}")
 
 
+def dump_amodal_dav2_vits_ssi(out_path):
+    """ssi loss strategy (linear head, dpt.py:138-144) + the 5-channel
+    image+mask+observation guidance concat (dav2.py:68-69)."""
+    import numpy as np
+    import torch
+
+    from src.models.amodalsynthdrive.dav2 import AmodalDAv2
+
+    model = AmodalDAv2(encoder="vits", guide_type="image+mask+observation",
+                       loss_stategy="ssi invisible_part", pretrained=False)
+    _randomize(model, SEED + 10)
+    model.eval()
+
+    gen = torch.Generator().manual_seed(SEED + 11)
+    x = torch.rand(1, 3, HW, HW, generator=gen)
+    grgb = torch.rand(1, 3, HW, HW, generator=gen) * 2 - 1
+    gm = ((torch.rand(1, 1, HW, HW, generator=gen) > 0.5).float() * 2 - 1)
+    ob = torch.rand(1, 1, HW, HW, generator=gen) * 2 - 1
+    with torch.no_grad():
+        out = model(x, guide_rgb=grgb, guide_mask=gm, observation=ob)
+
+    arrays = {"in.x": x.numpy(), "in.guide_rgb": grgb.numpy(),
+              "in.guide_mask": gm.numpy(), "in.observation": ob.numpy(),
+              "out": out.numpy()}
+    arrays.update({f"sd.{k}": v.numpy() for k, v in model.state_dict().items()})
+    np.savez(out_path, **arrays)
+    print(f"amodal_dav2_vits_ssi: out std {float(out.std()):.5f}")
+
+
 def dump_raw_dav2_vits(out_path):
     import numpy as np
     import torch
@@ -181,6 +210,7 @@ def dump_depthfm_unet_tiny(out_path):
 
 DUMPERS = {
     "amodal_dav2_vits": dump_amodal_dav2_vits,
+    "amodal_dav2_vits_ssi": dump_amodal_dav2_vits_ssi,
     "raw_dav2_vits": dump_raw_dav2_vits,
     "depthfm_unet_tiny": dump_depthfm_unet_tiny,
 }

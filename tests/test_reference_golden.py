@@ -67,6 +67,28 @@ def test_reference_amodal_dav2_vits(tmp_path):
     assert diff.max() < 5e-4, f"max diff {diff.max()}"
 
 
+def test_reference_amodal_dav2_vits_ssi(tmp_path):
+    """ssi strategy = linear (no-sigmoid) head + image+mask+observation =
+    the 5-channel guidance patch embed — both reference forks at once."""
+    sd, inputs, golden = _split(_dump("amodal_dav2_vits_ssi", tmp_path))
+    cfg = infer_dav2_config(sd, loss_strategy="ssi invisible_part")
+    assert cfg.guide_type == "image+mask+observation"
+
+    params = jax.tree.map(jnp.asarray, convert_dav2(sd, cfg))
+    ours = np.asarray(apply_amodal_dav2(
+        params, cfg, _nhwc(inputs["x"]),
+        guide_rgb=_nhwc(inputs["guide_rgb"]),
+        guide_mask=_nhwc(inputs["guide_mask"]),
+        observation=_nhwc(inputs["observation"]),
+        attn_impl="xla"))[..., 0]
+    theirs = golden[:, 0]
+
+    assert theirs.std() > 1e-3, f"flat golden (std {theirs.std()})"
+    diff = np.abs(ours - theirs)
+    # linear head: no sigmoid compressing the error
+    assert diff.max() < 2e-3, f"max diff {diff.max()}"
+
+
 def test_reference_depthfm_unet_tiny(tmp_path):
     from amodal_depth_anything_tpu.convert.depthfm_convert import (
         convert_ldm_unet)
