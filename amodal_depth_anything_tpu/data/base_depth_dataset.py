@@ -122,13 +122,21 @@ class BaseDepthDataset:
     # ------------------------------------------------------------------- io
 
     def _read_image(self, img_rel_path: str) -> np.ndarray:
-        from PIL import Image
         if self.is_tar:
             if self._tar is None:
                 self._tar = tarfile.open(self.dataset_dir)
             data = self._tar.extractfile("./" + img_rel_path).read()
-            return np.asarray(Image.open(io.BytesIO(data)))
-        return np.asarray(Image.open(os.path.join(self.dataset_dir, img_rel_path)))
+        else:
+            with open(os.path.join(self.dataset_dir, img_rel_path), "rb") as f:
+                data = f.read()
+        # native libpng/libjpeg decode (GIL released -> prefetch threads
+        # decode in parallel); PIL-parity pinned in tests/test_native.py
+        from ..native import imagecodec
+        img = imagecodec.decode(data)
+        if img is not None:
+            return img
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(data)))
 
     def _read_rgb_file(self, rel_path: str) -> np.ndarray:
         return self._read_image(rel_path)  # [H,W,3] uint8 (kept HWC)

@@ -51,3 +51,63 @@ def test_dataset_uses_native_path(lib_ok, rng):
     img = rng.random((33, 44, 3)).astype(np.float32)
     np.testing.assert_array_equal(resize_nearest_exact_np(img, (56, 56)),
                                   _np_nearest(img, (56, 56)))
+
+
+def test_native_imagecodec_pil_parity(tmp_path, rng):
+    """Native libpng/libjpeg decode must be byte-identical to PIL for
+    every format the datasets read (u8 gray/RGB/RGBA, u16 depth, JPEG)."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.native import imagecodec
+
+    if not imagecodec.available():
+        pytest.skip("native imagecodec unavailable")
+
+    cases = {
+        "u8_gray": Image.fromarray((rng.random((20, 30)) * 255).astype(np.uint8)),
+        "u8_rgb": Image.fromarray((rng.random((20, 30, 3)) * 255).astype(np.uint8)),
+        "u8_rgba": Image.fromarray((rng.random((20, 30, 4)) * 255).astype(np.uint8)),
+        "u16_gray": Image.fromarray((rng.random((20, 30)) * 65535).astype(np.uint16)),
+    }
+    for name, im in cases.items():
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        data = buf.getvalue()
+        native = imagecodec.decode(data)
+        pil = np.asarray(Image.open(io.BytesIO(data)))
+        np.testing.assert_array_equal(native, pil, err_msg=name)
+        assert native.dtype == pil.dtype, name
+
+    # JPEG (both stacks use libjpeg62 with default IDCT -> bit-exact)
+    buf = io.BytesIO()
+    cases["u8_rgb"].save(buf, format="JPEG", quality=90)
+    data = buf.getvalue()
+    native = imagecodec.decode(data)
+    pil = np.asarray(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(native, pil, err_msg="jpeg")
+
+
+def test_dataset_read_image_uses_native_path(tmp_path, rng):
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.data.base_depth_dataset import (
+        BaseDepthDataset, DatasetMode, DepthFileNameMode)
+    from amodal_depth_anything_tpu.native import imagecodec
+
+    d16 = (rng.random((12, 14)) * 65535).astype(np.uint16)
+    Image.fromarray(d16).save(tmp_path / "x_depth.png")
+    (tmp_path / "list.txt").write_text("x_depth.png x_depth.png\n")
+
+    ds = BaseDepthDataset(mode=DatasetMode.EVAL,
+                          filename_ls_path=str(tmp_path / "list.txt"),
+                          dataset_dir=str(tmp_path),
+                          name_mode=DepthFileNameMode.id,
+                          min_depth=0, max_depth=1, has_filled_depth=False)
+    got = ds._read_image("x_depth.png")
+    np.testing.assert_array_equal(got, d16)
+    assert got.dtype == np.uint16
+    if imagecodec.available():
+        assert imagecodec.decode(open(tmp_path / "x_depth.png", "rb").read()) is not None

@@ -1,8 +1,6 @@
 """Pipeline parallelism (GPipe over 'pipe' axis): forward + gradient
 parity against the plain scanned trunk, with DPT-style taps."""
 
-import functools
-
 import numpy as np
 
 import jax
@@ -15,7 +13,6 @@ from amodal_depth_anything_tpu.parallel.pipeline import (pipeline_vit_blocks,
                                                          stage_params)
 
 CFG = ViTConfig.preset("vitt")  # depth 4, dim 64, heads 2
-BLOCK_FN = functools.partial(vit_block, **{})
 
 
 def _block_fn(p, x):
