@@ -39,12 +39,14 @@ def silog_loss(pred, gt, valid_mask=None, *, beta: float = 0.15):
     g = jnp.log(pred + _EPS) - jnp.log(gt + _EPS)
     if valid_mask is None:
         mean = jnp.mean(g)
-        var = jnp.var(g)
+        # torch.var default is UNBIASED (n-1) — pinned by
+        # tests/test_reference_protocol_golden.py against the real loss.py
+        var = jnp.var(g, ddof=1)
     else:
         m = valid_mask.astype(g.dtype)
         n = jnp.maximum(jnp.sum(m), 1.0)
         mean = jnp.sum(g * m) / n
-        var = jnp.sum(jnp.square(g - mean) * m) / n
+        var = jnp.sum(jnp.square(g - mean) * m) / jnp.maximum(n - 1.0, 1.0)
     return 10.0 * jnp.sqrt(var + beta * jnp.square(mean))
 
 
