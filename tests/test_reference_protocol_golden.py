@@ -148,3 +148,14 @@ def test_scale_shift_normalizer_matches_reference(rng):
     mine = our_n(depth, valid_mask=mask)
     np.testing.assert_allclose(np.asarray(mine), theirs.numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_seed_sequence_matches_reference():
+    """Exact-resume depends on replaying the reference's per-batch seed
+    sequence (random.seed + randint) bit-for-bit."""
+    from src.util.seeding import generate_seed_sequence as ref_gen
+
+    from amodal_depth_anything_tpu.utils.seeding import generate_seed_sequence
+
+    assert generate_seed_sequence(2024, 64) == ref_gen(2024, 64)
+    assert generate_seed_sequence(0, 8) == ref_gen(0, 8)
