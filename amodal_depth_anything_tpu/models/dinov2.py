@@ -186,10 +186,15 @@ def prepare_tokens(params: dict, cfg: ViTConfig, x: jax.Array,
 
 
 def _run_blocks(stacked: dict, x: jax.Array, taps: Sequence[int], cfg: ViTConfig,
-                *, attn_impl: str | None, remat: bool,
+                *, attn_impl: str | None, remat,
                 kv_len: int | None = None,
                 act_sharding=None) -> list[jax.Array]:
     """Scan the trunk in segments that end at each tap depth.
+
+    `remat`: False | True (full per-block recompute, the memory floor) |
+    "attn" (recompute everything EXCEPT the attention kernel's out/LSE —
+    ~24 MB/layer extra at 518 px b8, but backward replays only the cheap
+    qkv projection instead of re-running the Pallas forward).
 
     `act_sharding` (NamedSharding for the [B, N, D] token stream, e.g.
     P('data', 'model', None)): sequence parallelism — the residual/LN
@@ -204,7 +209,12 @@ def _run_blocks(stacked: dict, x: jax.Array, taps: Sequence[int], cfg: ViTConfig
         return vit_block(p, x, num_heads=cfg.num_heads, ffn=cfg.ffn,
                          attn_impl=attn_impl, kv_len=kv_len), None
 
-    if remat:
+    if remat == "attn":
+        block_fn = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "attn_lse"))
+    elif remat:
         block_fn = jax.checkpoint(block_fn)
 
     taps = sorted(taps)

@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 
 try:  # pltpu is only importable where TPU support is built
@@ -327,6 +328,12 @@ def _mha(q, k, v, sm_scale, block_q, interpret, kv_len):
 def _mha_fwd(q, k, v, sm_scale, block_q, interpret, kv_len):
     out, lse = _mha_fwd_pallas(q, k, v, sm_scale=sm_scale, block_q=block_q,
                                interpret=interpret, kv_len=kv_len)
+    # Named for remat policies: `jax.checkpoint(block, policy=
+    # save_only_these_names("attn_out", "attn_lse"))` keeps these two
+    # residuals (~24 MB/layer at 518 px b8) so the backward replay
+    # re-runs only the cheap qkv projection, not the attention kernel.
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
     return out, (q, k, v, out, lse)
 
 
