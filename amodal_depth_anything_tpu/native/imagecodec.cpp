@@ -56,6 +56,7 @@ static int png_setup(png_structp png, png_infop info, MemReader* reader,
     png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (depth == 16) png_set_swap(png);  // PNG is big-endian; host is LE
+  png_set_interlace_handling(png);     // Adam7: de-interlace across passes
 
   png_read_update_info(png, info);
   *w = static_cast<int>(png_get_image_width(png, info));
@@ -104,10 +105,15 @@ int png_decode(const uint8_t* buf, size_t n, uint8_t* out) {
   int h, w, channels, bit_depth;
   png_setup(png, info, &reader, &h, &w, &channels, &bit_depth);
 
+  // png_read_image (not per-row reads) so interlaced files accumulate
+  // correctly over their passes. `rows` leaks h*8 bytes if libpng
+  // longjmps out mid-read (corrupt file) — the caller then falls back to
+  // PIL, so the leak is once-per-bad-file, not per-image.
   size_t stride = static_cast<size_t>(w) * channels * (bit_depth / 8);
-  for (int y = 0; y < h; ++y) {
-    png_read_row(png, out + y * stride, nullptr);
-  }
+  png_bytep* rows = new png_bytep[h];
+  for (int y = 0; y < h; ++y) rows[y] = out + y * stride;
+  png_read_image(png, rows);
+  delete[] rows;
   png_read_end(png, nullptr);
   png_destroy_read_struct(&png, &info, nullptr);
   return 0;
@@ -143,6 +149,9 @@ int jpeg_probe(const uint8_t* buf, size_t n, int* h, int* w, int* channels) {
   *h = static_cast<int>(cinfo.output_height);
   *channels = cinfo.output_components;
   jpeg_destroy_decompress(&cinfo);
+  // CMYK/YCCK (4-component, possibly Adobe-inverted) needs PIL's color
+  // management — reject so the caller falls back
+  if (*channels > 3) return 4;
   return 0;
 }
 

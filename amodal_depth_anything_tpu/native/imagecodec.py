@@ -15,6 +15,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -25,6 +26,7 @@ _SRC = os.path.join(_DIR, "imagecodec.cpp")
 _LIB = os.path.join(_DIR, "libimagecodec.so")
 _lib = None
 _tried = False
+_lock = threading.Lock()  # loader prefetch threads race on first use
 
 
 def lib_path() -> str:
@@ -32,20 +34,36 @@ def lib_path() -> str:
 
 
 def _build() -> bool:
+    # compile to a temp name + atomic rename: concurrent PROCESSES (e.g.
+    # pytest-xdist, multiple trainers) must never observe a half-written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", _SRC, "-lpng", "-ljpeg",
-             "-o", _LIB],
+             "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         logging.debug("native imagecodec build failed: %s", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
 def _load():
     global _lib, _tried
     if _tried:
+        return _lib
+    with _lock:
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib, _tried
+    if _tried:  # lost the race; another thread finished the load
         return _lib
     _tried = True
     if not os.path.exists(_LIB) and not _build():

@@ -65,7 +65,12 @@ def _fsdp_extend(spec: P, leaf, path_s: str, data_size: int) -> P:
     if leaf.size < FSDP_MIN_ELEMENTS or data_size <= 1:
         return spec
     entries = list(spec) + [None] * (leaf.ndim - len(spec))
-    start = 1 if ("blocks" in path_s and leaf.ndim >= 2) else 0
+    # exact path segment 'blocks' = the scan-stacked trunk ([L, ...]);
+    # substring matching would also catch the UNet's input_blocks /
+    # transformer_blocks dicts, which are NOT stacked and may legitimately
+    # shard axis 0
+    stacked = "blocks" in path_s.split(".") and leaf.ndim >= 2
+    start = 1 if stacked else 0
     candidates = [i for i in range(start, leaf.ndim)
                   if entries[i] is None and leaf.shape[i] % data_size == 0]
     if not candidates:

@@ -48,8 +48,8 @@ def main(argv=None):
         d = np.asarray(Image.open(path)).astype(np.float32)
         if d.ndim == 3:
             d = d[..., 0]
-        scale = 65535.0 if d.max() > 255 else max(float(d.max()), 1.0)
-        d = d / scale
+        # percentile normalization is scale-invariant — no need to guess
+        # the stored unit (u8 vs u16)
         vmin = float(np.percentile(d, args.vminp))
         vmax = float(np.percentile(d, args.vmaxp))
         rgb = colorize_depth(d, min_depth=vmin, max_depth=max(vmax, vmin + 1e-6),

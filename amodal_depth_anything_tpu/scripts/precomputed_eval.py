@@ -86,9 +86,10 @@ def main(argv=None):
         aligned, _, _ = align_depth_least_square_np(obs, pred, visible)
         invisible = whole & ~visible
 
-        ratio = visible.sum() / max(int(whole.sum()), 1)
-        bucket = ("align_easy" if ratio > 0.75
-                  else "align_mid" if ratio > 0.5 else "align_diff")
+        from ..utils.stats import sample_difficulty
+        vis_bucket, _, _, _ = sample_difficulty(whole, visible)
+        bucket = {"easy": "align_easy", "mid": "align_mid",
+                  "hard": "align_diff"}[vis_bucket]
         for name in names:
             val = float(METRIC_FNS[name](aligned + 1e-5, gt + 1e-5,
                                          invisible))

@@ -462,11 +462,10 @@ class DiscriminativeTrainer:
         if not self.out_dir_ckpt:
             return
         from ..parallel import is_main_process, sync_processes
-        if not is_main_process():
-            # multi-host: rank 0 writes, everyone meets at the barrier
-            # (reference wait_for_everyone, discriminative_trainer.py:353)
-            sync_processes(f"ckpt_{tag}")
-            return
+        # multi-host: orbax save is a COLLECTIVE — every process must
+        # call it (each writes its addressable shards, internal barriers
+        # included); gating it on rank 0 would deadlock the fleet. Only
+        # the log line is rank-0.
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(self.out_dir_ckpt, tag))
         tree = {
@@ -484,7 +483,8 @@ class DiscriminativeTrainer:
         }
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, tree, force=True)
-        LOGGER.info("saved checkpoint %s", path)
+        if is_main_process():
+            LOGGER.info("saved checkpoint %s", path)
         sync_processes(f"ckpt_{tag}")
 
     def load_checkpoint(self, path: str, *, resume_training: bool = True) -> None:

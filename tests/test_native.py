@@ -111,3 +111,70 @@ def test_dataset_read_image_uses_native_path(tmp_path, rng):
     assert got.dtype == np.uint16
     if imagecodec.available():
         assert imagecodec.decode(open(tmp_path / "x_depth.png", "rb").read()) is not None
+
+
+def _write_adam7_png(gray: np.ndarray) -> bytes:
+    """Minimal Adam7-interlaced 8-bit grayscale PNG writer (Pillow can't
+    write interlaced files, but the wild is full of them)."""
+    import struct
+    import zlib
+
+    h, w = gray.shape
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = gray[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)  # filter: none
+            raw.extend(row.tobytes())
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload +
+                struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # interlace=1
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_native_decodes_interlaced_png(rng):
+    """Adam7 PNGs must decode correctly (regression: per-row reads without
+    interlace handling returned pass-1 reduced rows as full rows)."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.native import imagecodec
+
+    if not imagecodec.available():
+        pytest.skip("native imagecodec unavailable")
+
+    gray = (rng.random((16, 16)) * 255).astype(np.uint8)
+    data = _write_adam7_png(gray)
+    pil = np.asarray(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(pil, gray)  # writer sanity
+    native = imagecodec.decode(data)
+    np.testing.assert_array_equal(native, gray)
+
+
+def test_native_rejects_cmyk_jpeg(rng):
+    """4-component (CMYK) JPEGs need PIL's color handling -> native path
+    must refuse them so the fallback produces correct RGB."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.native import imagecodec
+
+    if not imagecodec.available():
+        pytest.skip("native imagecodec unavailable")
+
+    im = Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    im.convert("CMYK").save(buf, format="JPEG")
+    assert imagecodec.decode(buf.getvalue()) is None
