@@ -101,6 +101,11 @@ class TrainerConfig:
     # matmuls (models/dinov2.py::_run_blocks act_sharding). No-op unless
     # the mesh's model axis is >1.
     sequence_parallel: bool = False
+    # jax.profiler trace capture: write a TensorBoard profile of micro
+    # steps [profile_start, profile_start + profile_steps) to this dir
+    profile_dir: str | None = None
+    profile_start: int = 50
+    profile_steps: int = 5
 
 
 def _strategy_loss(loss_fn, strategy: str, pred, gt, valid, guide, invisible,
@@ -172,6 +177,11 @@ class DiscriminativeTrainer:
         self.effective_iter = 0
         self.in_evaluation = False
         self.global_seed_sequence: list[int] = []
+
+        from ..utils.profiling import StepTimer
+        self.step_timer = StepTimer()
+        self._micro_step_count = 0
+        self._tracing = False
 
         self._train_step = self._build_train_step()
         self._eval_forward = self._build_eval_forward()
@@ -296,6 +306,12 @@ class DiscriminativeTrainer:
         micro_per_eff = cfg.accumulation_steps
         micro_count = 0
 
+        try:
+            self._train_loop(cfg, micro_per_eff, micro_count, t_end)
+        finally:
+            self._stop_profile()
+
+    def _train_loop(self, cfg, micro_per_eff, micro_count, t_end):
         for epoch in range(self.epoch, cfg.max_epoch + 1):
             self.epoch = epoch
             self.train_loader.set_epoch(epoch)
@@ -303,10 +319,14 @@ class DiscriminativeTrainer:
                 self.train_loader.skip_first_batches(self.n_batch_in_epoch)
             for batch in self.train_loader:
                 dev_batch = self._device_batch(batch)
-                self.state, loss = self._train_step(self.state, dev_batch)
+                self._profile_tick()
+                with self.step_timer.step():
+                    self.state, loss = self._train_step(self.state, dev_batch)
+                    loss = float(loss)  # device sync: time the real step
+                self._micro_step_count += 1
                 self.n_batch_in_epoch += 1
                 micro_count += 1
-                self.train_metrics.update("loss", float(loss))
+                self.train_metrics.update("loss", loss)
 
                 if micro_count >= micro_per_eff:
                     micro_count = 0
@@ -315,9 +335,14 @@ class DiscriminativeTrainer:
                         LOGGER.info("iter %d loss %.5f", self.effective_iter,
                                     self.train_metrics.avg("loss"))
                         from ..utils.logging_util import tb_logger
-                        tb_logger.log_dic(
-                            {"train/loss": self.train_metrics.avg("loss")},
-                            self.effective_iter)
+                        scalars = {"train/loss":
+                                   self.train_metrics.avg("loss")}
+                        timing = self.step_timer.summary()
+                        if timing:
+                            scalars["perf/step_p50_s"] = timing["p50_s"]
+                            scalars["perf/steps_per_sec"] = \
+                                timing["steps_per_sec"]
+                        tb_logger.log_dic(scalars, self.effective_iter)
                         self.train_metrics.reset()
                     self._periodic_callbacks()
                     if self.effective_iter >= cfg.max_iter:
@@ -329,6 +354,27 @@ class DiscriminativeTrainer:
                     return
             self.n_batch_in_epoch = 0
         self.save_checkpoint("latest")
+
+    def _profile_tick(self) -> None:
+        """Start/stop the jax.profiler trace window (SURVEY.md §5.1 —
+        the reference ships no profiler at all)."""
+        cfg = self.cfg
+        if not cfg.profile_dir:
+            return
+        import jax
+        if self._micro_step_count == cfg.profile_start and not self._tracing:
+            jax.profiler.start_trace(cfg.profile_dir)
+            self._tracing = True
+        elif self._tracing and self._micro_step_count >= \
+                cfg.profile_start + cfg.profile_steps:
+            jax.profiler.stop_trace()
+            self._tracing = False
+
+    def _stop_profile(self) -> None:
+        if self._tracing:
+            import jax
+            jax.profiler.stop_trace()
+            self._tracing = False
 
     def _periodic_callbacks(self) -> None:
         cfg = self.cfg

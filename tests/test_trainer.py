@@ -121,3 +121,25 @@ def test_train_cli_smoke(sam_tree, tmp_path, monkeypatch):
     assert runs, "run dir created"
     assert (runs[0] / "config.yaml").exists()
     assert (runs[0] / "checkpoint" / "latest").exists()
+
+
+def test_step_timer_and_profiler_wiring(sam_tree, tmp_path):
+    """The trainer times every step and captures a jax.profiler trace for
+    the configured window (reference has no profiler at all, SURVEY §5.1)."""
+    root, list_path = sam_tree
+    train_loader, _ = _loaders(root, list_path)
+    model = get_model("AmodalDAv2", encoder="vitt")
+    mesh = make_mesh(MeshConfig(data=2, model=1), devices=jax.devices()[:2])
+    prof_dir = str(tmp_path / "profile")
+    trainer = DiscriminativeTrainer(
+        _cfg(max_iter=2, profile_dir=prof_dir, profile_start=1,
+             profile_steps=1),
+        model, train_loader, mesh=mesh)
+    trainer.train()
+    assert not trainer._tracing
+    timing = trainer.step_timer.summary()
+    # warmup=2 absorbs the compile steps; 2 iters may leave 0 samples,
+    # but the counter must have seen every step
+    assert trainer._micro_step_count == 2
+    assert os.path.isdir(prof_dir) and os.listdir(prof_dir), \
+        "profiler trace not written"
