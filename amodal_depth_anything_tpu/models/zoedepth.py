@@ -9,13 +9,18 @@ Functional re-design of the vendored ZoeDepth the reference reaches via
     relative depth are both exposed — matching the reference's hook set
     ('out_conv', 'l4_rn', 'r4', 'r3', 'r2', 'r1',
     `zoedepth/models/base_models/midas.py:302-326`).
-  * Metric-bins head (`zoedepth/models/zoedepth/zoedepth_v1.py:37-211`):
-    bottleneck 1x1 conv, softplus seed-bin regressor (n_bins 64),
-    bin-embedding projectors, exponential attractor layers
-    ([16,8,4,1] attractors, alpha 300 gamma 2, sum aggregation —
-    `zoedepth/models/layers/attractor.py:29-41,139-207`), conditional
-    log-binomial over bins (`dist_layers.py:36-117`), metric depth =
-    sum(p * bin_centers).
+  * Metric-bins head (`zoedepth/models/zoedepth/zoedepth_v1.py:37-211`),
+    at the SHIPPED config (`config_zoedepth.json` — what invisible_stitch
+    builds via `get_config("zoedepth", ...)`, NOT the constructor
+    defaults): bottleneck 1x1 conv, softplus seed-bin regressor
+    (n_bins 64), bin-embedding projectors, INVERSE attractor layers
+    ([16,8,4,1] attractors, MEAN aggregation, and — load-bearing
+    reference bug — alpha 300/gamma 2, the function defaults, because
+    forward never forwards the configured alpha=1000
+    (`attractor.py:45-57,191-199`, json:11-12)), conditional log-binomial
+    over bins with a GELU-hidden conditioning mlp and the reference's
+    Stirling log-binomial coefficients (`dist_layers.py:29-120`,
+    min_temp 0.0212), metric depth = sum(p * bin_centers).
   * InvisibleStitch (`invisible_stitch.py:77-110`): patch embed widened
     +2 channels (observation, depth_mask); observation zeroed inside the
     invisible region; depth_mask = ~invisible.
@@ -52,11 +57,19 @@ class ZoeDepthConfig:
     n_bins: int = 64
     bin_embedding_dim: int = 128
     n_attractors: tuple = (16, 8, 4, 1)
+    # Shipped config values (config_zoedepth.json) for type/kind — but
+    # alpha/gamma are the jit-scripted FUNCTION DEFAULTS: the reference's
+    # forward calls `dist(dx)` with no arguments (attractor.py:191-199),
+    # so its config alpha=1000 is silently ignored and every published
+    # checkpoint effectively ran alpha=300. Golden-pinned in
+    # tests/test_reference_protocol_golden.py.
     attractor_alpha: float = 300.0
     attractor_gamma: float = 2.0
+    attractor_type: str = "inv"   # "inv" | "exp"
+    attractor_kind: str = "mean"  # "mean" | "sum"
     min_depth: float = 1e-3
     max_depth: float = 10.0
-    min_temp: float = 5.0
+    min_temp: float = 0.0212
     max_temp: float = 50.0
     midas_out: int = 32
 
@@ -67,8 +80,8 @@ def _mlp2_init(key, cin, hidden, cout):
             "conv2": conv2d_init(k2, 1, 1, hidden, cout)}
 
 
-def _mlp2(p, x, *, final_act=None):
-    h = jax.nn.relu(conv2d(p["conv1"], x, padding=0))
+def _mlp2(p, x, *, final_act=None, hidden_act=jax.nn.relu):
+    h = hidden_act(conv2d(p["conv1"], x, padding=0))
     h = conv2d(p["conv2"], h, padding=0)
     return final_act(h) if final_act is not None else h
 
@@ -168,17 +181,39 @@ def _midas_core(params, cfg: ZoeDepthConfig, x):
 
 
 def _exp_attractor(dx, alpha, gamma):
+    """attractor.py:30-42."""
     return jnp.exp(-alpha * jnp.abs(dx) ** gamma) * dx
 
 
+def _inv_attractor(dx, alpha, gamma):
+    """attractor.py:45-57 — the shipped/paper default.
+
+    dx can be negative: torch `dx.pow(2.0)` squares it, but jnp.power
+    with a FLOAT exponent of a negative base is NaN — use the integer
+    exponent so XLA lowers to repeated multiplication."""
+    g = int(gamma) if float(gamma).is_integer() else gamma
+    return dx / (1.0 + alpha * dx ** g)
+
+
 def _log_binomial(p, t, n_classes, eps=1e-4):
-    """p, t: [B,H,W,1] -> probs [B,H,W,K] (dist_layers.py:36-69)."""
+    """p, t: [B,H,W,1] -> probs [B,H,W,K] (dist_layers.py:29-69).
+
+    Uses the reference's STIRLING approximation for log nCk (not exact
+    lgamma): its error is k-dependent (~0.5*ln k), so after the softmax
+    the two give materially different distributions — checkpoint parity
+    requires replicating the approximation."""
     k = jnp.arange(n_classes, dtype=jnp.float32).reshape(1, 1, 1, -1)
     big_k = float(n_classes - 1)
+    e7 = 1e-7
+    n_ = big_k + e7
+    k_ = k + e7
+    # clamp n-k at the last bin: XLA's mixed f32/f64 constant folding can
+    # make it epsilon-NEGATIVE under jit, and 0 * log(negative) = NaN
+    # (torch stays f32 throughout and lands exactly on 0 * log(eps) = 0)
+    nk = jnp.maximum(n_ - k_, 0.0)
+    log_coef = n_ * jnp.log(n_) - k_ * jnp.log(k_) - nk * jnp.log(nk + e7)
     p = jnp.clip(p.astype(jnp.float32), eps, 1.0)
     one_minus = jnp.clip(1.0 - p, eps, 1.0)
-    log_coef = (jax.lax.lgamma(jnp.asarray(big_k + 1.0)) -
-                jax.lax.lgamma(k + 1.0) - jax.lax.lgamma(big_k - k + 1.0))
     y = log_coef + k * jnp.log(p) + (big_k - k) * jnp.log(one_minus)
     return jax.nn.softmax(y / t.astype(jnp.float32), axis=-1)
 
@@ -202,10 +237,14 @@ def apply_zoedepth(params, cfg: ZoeDepthConfig, x):
                   final_act=jax.nn.softplus)
         b_up = resize2d(b_prev, size=emb.shape[1:3], method="bilinear",
                         align_corners=True)
-        # delta for every bin from every attractor (attractor.py:191-199)
+        # delta for every bin from every attractor (attractor.py:191-199);
+        # shipped config: inverse attractor, mean aggregation
         dx = a[..., :, None] - b_up[..., None, :]  # [B,h,w,na,nbins]
-        delta = jnp.sum(_exp_attractor(dx, cfg.attractor_alpha,
-                                       cfg.attractor_gamma), axis=-2)
+        attractor_fn = (_inv_attractor if cfg.attractor_type == "inv"
+                        else _exp_attractor)
+        agg = jnp.mean if cfg.attractor_kind == "mean" else jnp.sum
+        delta = agg(attractor_fn(dx, cfg.attractor_alpha,
+                                 cfg.attractor_gamma), axis=-2)
         b_prev = b_up + delta
         prev_emb = emb
 
@@ -215,9 +254,11 @@ def apply_zoedepth(params, cfg: ZoeDepthConfig, x):
     last = jnp.concatenate([out32, rel_cond], axis=-1)
     emb_up = resize2d(prev_emb, size=last.shape[1:3], method="bilinear",
                       align_corners=True)
+    # CLB conditioning mlp hides a GELU, not the ReLU the other heads use
+    # (dist_layers.py:130-135)
     pt = _mlp2(params["conditional_log_binomial"],
                jnp.concatenate([last, emb_up], axis=-1),
-               final_act=jax.nn.softplus)
+               final_act=jax.nn.softplus, hidden_act=gelu)
     eps = 1e-4
     p = (pt[..., 0:1] + eps) / (pt[..., 0:1] + pt[..., 1:2] + 2 * eps)
     t_raw = (pt[..., 2:3] + eps) / (pt[..., 2:3] + pt[..., 3:4] + 2 * eps)

@@ -29,7 +29,11 @@ Design notes (why this shape):
     everywhere anyway.
   * Composes with the other axes: batch stays sharded over 'data'
     (shard_map in_specs pass it through), tensor-parallel block math
-    inside a stage would shard over 'model'.
+    inside a stage would shard over 'model'. NOT composed: FSDP of the
+    stage-resident weights over 'data' — inside shard_map the SPMD is
+    manual, so that would need explicit per-stage all-gathers; at
+    reference scale (<=1.3B params / S stages) stage weights fit
+    comfortably, so the gather machinery isn't worth its complexity.
 
 Use `pipeline_spec(depth, n_stages)` to validate/derive the stage split
 and `pipeline_vit_blocks(...)` inside a mesh context. Single-host

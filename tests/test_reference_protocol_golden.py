@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 REFERENCE = pathlib.Path("/root/reference")
@@ -40,7 +41,18 @@ def _ref_path():
     sys.modules["skimage"].feature = sys.modules.get("skimage.feature")
     if not hasattr(sys.modules["skimage.feature"], "canny"):
         sys.modules["skimage.feature"].canny = None  # never called here
+    # bypass src/models/__init__.py (imports depthfm -> torchdiffeq) so
+    # the pure-torch zoedepth layer modules import directly
+    bypassed = []
+    for pkg in ("src.models", "src.models.amodalsynthdrive"):
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = [f"{REFERENCE}/{pkg.replace('.', '/')}"]
+            sys.modules[pkg] = mod
+            bypassed.append(pkg)
     yield
+    for name in bypassed:
+        sys.modules.pop(name, None)
     sys.path.remove(str(REFERENCE))
     for name in stubbed:
         sys.modules.pop(name, None)
@@ -159,3 +171,82 @@ def test_seed_sequence_matches_reference():
 
     assert generate_seed_sequence(2024, 64) == ref_gen(2024, 64)
     assert generate_seed_sequence(0, 8) == ref_gen(0, 8)
+
+
+def _conv1x1(tmod):
+    return {"w": jnp.asarray(tmod.weight.detach().numpy().transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(tmod.bias.detach().numpy())}
+
+
+def _mlp2_params(net):
+    return {"conv1": _conv1x1(net[0]), "conv2": _conv1x1(net[2])}
+
+
+def test_attractor_layer_matches_reference(rng):
+    """Inverse attractor + mean aggregation (config_zoedepth.json), AND
+    the load-bearing reference bug: forward calls `dist(dx)` with no
+    arguments, so the configured alpha=1000 is ignored and the
+    jit-scripted default alpha=300 is what every checkpoint ran. The
+    layer here is built with alpha=1000 like the real model; our side
+    computes with 300 and must match."""
+    from src.models.amodalsynthdrive.zoedepth.models.layers.attractor import (
+        AttractorLayerUnnormed)
+
+    from amodal_depth_anything_tpu.models.zoedepth import (_inv_attractor,
+                                                           _mlp2)
+    from amodal_depth_anything_tpu.ops.resize import resize2d
+
+    torch.manual_seed(0)
+    layer = AttractorLayerUnnormed(in_features=16, n_bins=8, n_attractors=4,
+                                   mlp_dim=32, alpha=1000, gamma=2,
+                                   kind="mean", attractor_type="inv")
+    layer.eval()
+    x = torch.randn(1, 16, 8, 8)
+    b_prev = torch.rand(1, 8, 4, 4) * 5
+    prev_emb = torch.randn(1, 16, 4, 4)
+    with torch.no_grad():
+        b_new, _ = layer(x, b_prev, prev_b_embedding=prev_emb)
+
+    p = _mlp2_params(layer._net)
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    prev_up = resize2d(jnp.asarray(prev_emb.numpy().transpose(0, 2, 3, 1)),
+                       size=(8, 8), method="bilinear", align_corners=True)
+    a = _mlp2(p, x_j + prev_up, final_act=jax.nn.softplus)
+    b_up = resize2d(jnp.asarray(b_prev.numpy().transpose(0, 2, 3, 1)),
+                    size=(8, 8), method="bilinear", align_corners=True)
+    dx = a[..., :, None] - b_up[..., None, :]
+    delta = jnp.mean(_inv_attractor(dx, 300.0, 2.0), axis=-2)
+    ours = np.asarray(b_up + delta).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, b_new.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_conditional_log_binomial_matches_reference(rng):
+    """GELU-hidden conditioning mlp + Stirling log-binomial coefficients +
+    min_temp 0.0212 (dist_layers.py:29-120)."""
+    from src.models.amodalsynthdrive.zoedepth.models.layers.dist_layers import (
+        ConditionalLogBinomial)
+
+    from amodal_depth_anything_tpu.models.layers import gelu
+    from amodal_depth_anything_tpu.models.zoedepth import (_log_binomial,
+                                                           _mlp2)
+
+    torch.manual_seed(1)
+    clb = ConditionalLogBinomial(in_features=12, condition_dim=6,
+                                 n_classes=16, min_temp=0.0212, max_temp=50)
+    clb.eval()
+    x = torch.randn(1, 12, 6, 6)
+    cond = torch.randn(1, 6, 6, 6)
+    with torch.no_grad():
+        probs_ref = clb(x, cond)
+
+    p = _mlp2_params(clb.mlp)
+    inp = jnp.concatenate([jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                           jnp.asarray(cond.numpy().transpose(0, 2, 3, 1))],
+                          axis=-1)
+    pt = _mlp2(p, inp, final_act=jax.nn.softplus, hidden_act=gelu)
+    eps = 1e-4
+    pp = (pt[..., 0:1] + eps) / (pt[..., 0:1] + pt[..., 1:2] + 2 * eps)
+    tt = (pt[..., 2:3] + eps) / (pt[..., 2:3] + pt[..., 3:4] + 2 * eps)
+    t = 0.0212 + (50.0 - 0.0212) * tt
+    ours = np.asarray(_log_binomial(pp, t, 16)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, probs_ref.numpy(), rtol=5e-4, atol=1e-6)
