@@ -34,7 +34,9 @@ def _ref_path():
     # metrics; this image lacks it. The stub only needs to satisfy the
     # import — the numeric metrics under test never touch it.
     stubbed = []
-    for name in ("skimage", "skimage.feature"):
+    # timm: only referenced at call time (create_model) by paths these
+    # tests never exercise; the stub satisfies the module-level import
+    for name in ("skimage", "skimage.feature", "timm"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
             stubbed.append(name)
@@ -250,3 +252,91 @@ def test_conditional_log_binomial_matches_reference(rng):
     t = 0.0212 + (50.0 - 0.0212) * tt
     ours = np.asarray(_log_binomial(pp, t, 16)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours, probs_ref.numpy(), rtol=5e-4, atol=1e-6)
+
+
+def test_spade_matches_reference(rng):
+    """jo_amodal SPADE fusion block (dpt/SPADE.py:13-58): BN without
+    affine using running stats, nearest-resized segmap conditioning."""
+    from src.models.amodalsynthdrive.jo_amodal.dpt.SPADE import SPADE
+
+    from amodal_depth_anything_tpu.models.jo_dpt import _spade
+
+    torch.manual_seed(2)
+    spade = SPADE(norm_nc=12, label_nc=1)
+    # non-trivial running stats: eval-mode BN must use them
+    with torch.no_grad():
+        spade.param_free_norm.running_mean.uniform_(-1, 1)
+        spade.param_free_norm.running_var.uniform_(0.5, 2.0)
+    spade.eval()
+    x = torch.randn(1, 12, 8, 8)
+    seg = torch.rand(1, 1, 4, 4)
+    with torch.no_grad():
+        ref = spade(x, seg)
+
+    def conv(t):
+        return {"w": jnp.asarray(t.weight.detach().numpy().transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(t.bias.detach().numpy())}
+
+    p = {"mlp_shared": conv(spade.mlp_shared[0]),
+         "mlp_gamma": conv(spade.mlp_gamma),
+         "mlp_beta": conv(spade.mlp_beta)}
+    state = {"mean": jnp.asarray(spade.param_free_norm.running_mean.numpy()),
+             "var": jnp.asarray(spade.param_free_norm.running_var.numpy())}
+    out, _ = _spade(p, state, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                    jnp.asarray(seg.numpy().transpose(0, 2, 3, 1)),
+                    train=False)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_mvit_transformer_decoder_matches_reference(rng):
+    """ADDeepLab's mViT cross-attention block is a stock torch
+    nn.TransformerDecoder (deeplab.py:186-200): post-norm, ReLU FF,
+    merged qkv in_proj — our _decoder_layer must replicate it."""
+    from src.models.amodalsynthdrive.deeplab import mViT
+
+    from amodal_depth_anything_tpu.models.deeplab import _decoder_layer
+
+    torch.manual_seed(3)
+    d, heads = 32, 2
+    m = mViT(in_channels=8, patch_size=4, embedding_dim=d, num_heads=heads)
+    m.eval()
+    x = torch.randn(1, 8, 16, 16)
+    ym = torch.randn(1, 8, 16, 16)
+    with torch.no_grad():
+        x_pf = m.patch_x(x).flatten(2).permute(2, 0, 1)   # [S, N, E]
+        ym_pf = m.patch_ym(ym).flatten(2).permute(2, 0, 1)
+        ref = m.transformer_decoder(x_pf, ym_pf)
+
+    def lin(w, b=None):
+        p = {"w": jnp.asarray(w.detach().numpy().T)}
+        p["b"] = (jnp.asarray(b.detach().numpy()) if b is not None
+                  else jnp.zeros((p["w"].shape[1],), jnp.float32))
+        return p
+
+    tgt = jnp.asarray(x_pf.numpy().transpose(1, 0, 2))    # [N, S, E]
+    mem = jnp.asarray(ym_pf.numpy().transpose(1, 0, 2))
+    for layer in m.transformer_decoder.layers:
+        ipw, ipb = layer.self_attn.in_proj_weight, layer.self_attn.in_proj_bias
+        cpw, cpb = (layer.multihead_attn.in_proj_weight,
+                    layer.multihead_attn.in_proj_bias)
+        p = {
+            "self_attn": {"qkv": lin(ipw, ipb),
+                          "out": lin(layer.self_attn.out_proj.weight,
+                                     layer.self_attn.out_proj.bias)},
+            "cross_attn": {"q": lin(cpw[:d], cpb[:d]),
+                           "kv": lin(cpw[d:], cpb[d:]),
+                           "out": lin(layer.multihead_attn.out_proj.weight,
+                                      layer.multihead_attn.out_proj.bias)},
+            "ff": {"fc1": lin(layer.linear1.weight, layer.linear1.bias),
+                   "fc2": lin(layer.linear2.weight, layer.linear2.bias)},
+            "norm1": {"scale": jnp.asarray(layer.norm1.weight.detach().numpy()),
+                      "bias": jnp.asarray(layer.norm1.bias.detach().numpy())},
+            "norm2": {"scale": jnp.asarray(layer.norm2.weight.detach().numpy()),
+                      "bias": jnp.asarray(layer.norm2.bias.detach().numpy())},
+            "norm3": {"scale": jnp.asarray(layer.norm3.weight.detach().numpy()),
+                      "bias": jnp.asarray(layer.norm3.bias.detach().numpy())},
+        }
+        tgt = _decoder_layer(p, tgt, mem, heads, "xla")
+    ours = np.asarray(tgt).transpose(1, 0, 2)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=2e-4, atol=2e-5)
