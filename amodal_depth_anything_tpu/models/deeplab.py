@@ -93,15 +93,17 @@ def init_addeeplab(key, cfg: ADDeepLabConfig = ADDeepLabConfig()):
     params["encoder"]["conv1"]["w"] = w.at[:, :, 3:, :].set(0.0)
 
     c_last = cfg.channels[-1]
+    # the whole decoder uses Conv2DModule(bias=False) in the reference
+    # (deeplab.py:40-75 default) — only the mViT patch convs carry bias
     aspp = {"image_pool": conv2d_init(next(keys), 1, 1, c_last,
-                                      cfg.aspp_channels)}
+                                      cfg.aspp_channels, bias=False)}
     for i, d in enumerate(cfg.aspp_dilations):
         k = 1 if d == 1 else 3
         aspp[f"branch{i}"] = conv2d_init(next(keys), k, k, c_last,
-                                         cfg.aspp_channels)
+                                         cfg.aspp_channels, bias=False)
     aspp["bottleneck"] = conv2d_init(
         next(keys), 3, 3, (len(cfg.aspp_dilations) + 1) * cfg.aspp_channels,
-        c_last)
+        c_last, bias=False)
     params["aspp_head"] = aspp
 
     conv_list = {}
@@ -110,11 +112,12 @@ def init_addeeplab(key, cfg: ADDeepLabConfig = ADDeepLabConfig()):
                                        cfg.up_sample_channels[::-1])):
         if i == 0:
             conv_list[str(i)] = {"conv": conv2d_init(next(keys), 1, 1, cin,
-                                                     cup)}
+                                                     cup, bias=False)}
         else:
             conv_list[str(i)] = {
-                "convA": conv2d_init(next(keys), 3, 3, cin + up_prev, cup),
-                "convB": conv2d_init(next(keys), 3, 3, cup, cup),
+                "convA": conv2d_init(next(keys), 3, 3, cin + up_prev, cup,
+                                     bias=False),
+                "convB": conv2d_init(next(keys), 3, 3, cup, cup, bias=False),
             }
         up_prev = cup
     params["conv_list"] = conv_list
@@ -122,9 +125,9 @@ def init_addeeplab(key, cfg: ADDeepLabConfig = ADDeepLabConfig()):
     d0 = cfg.up_sample_channels[0]
 
     def head_init():
-        return {"conv_1": conv2d_init(next(keys), 5, 5, d0, d0),
-                "conv_2": conv2d_init(next(keys), 3, 3, d0, d0),
-                "pred": conv2d_init(next(keys), 3, 3, d0, 1)}
+        return {"conv_1": conv2d_init(next(keys), 5, 5, d0, d0, bias=False),
+                "conv_2": conv2d_init(next(keys), 3, 3, d0, d0, bias=False),
+                "pred": conv2d_init(next(keys), 3, 3, d0, 1, bias=False)}
 
     params["visible_depth_head"] = head_init()
     params["in_visible_depth_head"] = head_init()
@@ -186,7 +189,16 @@ def apply_addeeplab(params, bn_state, cfg: ADDeepLabConfig, x, *,
     h = jnp.concatenate([x, guide_mask.astype(x.dtype)], axis=-1)
     feats, new_bn = apply_resnet(params["encoder"], bn_state, h, cfg.resnet,
                                  train=train)
+    preds = addeeplab_decoder(params, cfg, feats, attn_impl=attn_impl)
+    return preds, new_bn
 
+
+def addeeplab_decoder(params, cfg: ADDeepLabConfig, feats, *,
+                      attn_impl: str | None = None):
+    """ASPP -> top-down fusion -> dual heads + mViT, on backbone feature
+    maps [stride 4/8/16/32] (reference forward, deeplab.py:252-281).
+    Factored out so the decoder can be golden-tested against the
+    reference with injected features (its encoder needs timm weights)."""
     last = feats[-1]
     pool = jnp.mean(last, axis=(1, 2), keepdims=True)
     pool = jax.nn.relu(conv2d(params["aspp_head"]["image_pool"], pool,
@@ -203,7 +215,9 @@ def apply_addeeplab(params, bn_state, cfg: ADDeepLabConfig, x, *,
                 last, p["w"].astype(last.dtype), (1, 1),
                 [(d, d), (d, d)], rhs_dilation=(d, d),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=dot_precision(last.dtype)) + p["b"].astype(last.dtype)
+                precision=dot_precision(last.dtype))
+            if "b" in p:
+                y = y + p["b"].astype(last.dtype)
         branches.append(jax.nn.relu(y))
     aspp = jnp.concatenate(branches, axis=-1)
     aspp = jax.nn.relu(conv2d(params["aspp_head"]["bottleneck"], aspp,
@@ -241,5 +255,4 @@ def apply_addeeplab(params, bn_state, cfg: ADDeepLabConfig, x, *,
     updated = cur + att_up
     _, invisible_pred = _depth_head(params["in_visible_depth_head"], updated)
 
-    return ((jax.nn.sigmoid(visible_pred), jax.nn.sigmoid(invisible_pred)),
-            new_bn)
+    return jax.nn.sigmoid(visible_pred), jax.nn.sigmoid(invisible_pred)

@@ -340,3 +340,141 @@ def test_mvit_transformer_decoder_matches_reference(rng):
         tgt = _decoder_layer(p, tgt, mem, heads, "xla")
     ours = np.asarray(tgt).transpose(1, 0, 2)
     np.testing.assert_allclose(ours, ref.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_swiglu_ffn_matches_reference(rng):
+    """DINOv2 SwiGLUFFNFused (the vitg FFN): hidden-dim rounding
+    (int(h*2/3)+7)//8*8 and the silu(x1)*x2 split order."""
+    from src.models.amodalsynthdrive.depth_anything_v2.dinov2_layers.swiglu_ffn import (  # noqa: E501
+        SwiGLUFFNFused)
+
+    from amodal_depth_anything_tpu.models.layers import (swiglu,
+                                                         swiglu_hidden_dim)
+
+    torch.manual_seed(4)
+    dim = 48
+    ffn = SwiGLUFFNFused(in_features=dim, hidden_features=dim * 4)
+    ffn.eval()
+    # rounding quirk: hidden = (int(4*dim*2/3)+7)//8*8
+    assert ffn.w12.out_features // 2 == swiglu_hidden_dim(dim, 4.0)
+
+    x = torch.randn(2, 9, dim)
+    with torch.no_grad():
+        ref = ffn(x)
+
+    p = {"w12": {"w": jnp.asarray(ffn.w12.weight.detach().numpy().T),
+                 "b": jnp.asarray(ffn.w12.bias.detach().numpy())},
+         "w3": {"w": jnp.asarray(ffn.w3.weight.detach().numpy().T),
+                "b": jnp.asarray(ffn.w3.bias.detach().numpy())}}
+    ours = np.asarray(swiglu(p, jnp.asarray(x.numpy())))
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_addeeplab_decoder_matches_reference(rng):
+    """The ENTIRE ADDeepLab decoder — ASPP (dilated convs + image pool),
+    top-down UpSample fusion, dual DepthPredictionHeads, 4-layer mViT
+    cross-attention, sigmoid outputs — against the reference's forward
+    with injected backbone features (its encoder needs timm weights, so
+    create_model is stubbed with a feature player)."""
+    import types as _types
+
+    import torch.nn as nn
+
+    torch.manual_seed(5)
+    channels = [32, 64, 128, 256]
+    ups = [16, 32, 64, 128]
+    feats_t = [torch.randn(1, c, s, s) for c, s in
+               zip(channels, (16, 8, 4, 2))]
+
+    class DummyEncoder(nn.Module):
+        default_cfg = {"mean": (0.485, 0.456, 0.406),
+                       "std": (0.229, 0.224, 0.225)}
+
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+
+        def forward(self, x):
+            return [f.clone() for f in feats_t]
+
+    sys.modules["timm"].create_model = lambda *a, **k: DummyEncoder()
+    from src.models.amodalsynthdrive.deeplab import ADDeepLab
+
+    model = ADDeepLab(encoder_name="stub", channels=channels,
+                      up_sample_channels=ups)
+    model.eval()
+    x = torch.rand(1, 3, 64, 64)
+    gm = (torch.rand(1, 1, 64, 64) > 0.5).float()
+    with torch.no_grad():
+        vis_ref, invis_ref = model(x, guide_mask=gm)
+
+    # ---- convert decoder weights to our layout
+    from amodal_depth_anything_tpu.models.deeplab import (ADDeepLabConfig,
+                                                          addeeplab_decoder)
+
+    def conv(t, bias=True):
+        p = {"w": jnp.asarray(t.weight.detach().numpy().transpose(2, 3, 1, 0))}
+        if bias and t.bias is not None:
+            p["b"] = jnp.asarray(t.bias.detach().numpy())
+        return p
+
+    def lin(w, b):
+        return {"w": jnp.asarray(w.detach().numpy().T),
+                "b": jnp.asarray(b.detach().numpy())}
+
+    d = ups[0]
+    aspp = {"image_pool": conv(model.aspp_head.image_pool[1].conv)}
+    for i, mod in enumerate(model.aspp_head.aspp_modules):
+        aspp[f"branch{i}"] = conv(mod.conv)
+    aspp["bottleneck"] = conv(model.aspp_head.bottleneck.conv)
+    conv_list = {"0": {"conv": conv(model.conv_list[0].conv)}}
+    for i in range(1, 4):
+        conv_list[str(i)] = {"convA": conv(model.conv_list[i].convA.conv),
+                             "convB": conv(model.conv_list[i].convB.conv)}
+
+    def head(h):
+        return {"conv_1": conv(h.conv_1.conv), "conv_2": conv(h.conv_2.conv),
+                "pred": conv(h.pred.conv)}
+
+    layers = {}
+    for i, layer in enumerate(model.cross_att_layer.transformer_decoder.layers):
+        ipw, ipb = layer.self_attn.in_proj_weight, layer.self_attn.in_proj_bias
+        cpw, cpb = (layer.multihead_attn.in_proj_weight,
+                    layer.multihead_attn.in_proj_bias)
+        layers[str(i)] = {
+            "self_attn": {"qkv": lin(ipw, ipb),
+                          "out": lin(layer.self_attn.out_proj.weight,
+                                     layer.self_attn.out_proj.bias)},
+            "cross_attn": {"q": lin(cpw[:d], cpb[:d]),
+                           "kv": lin(cpw[d:], cpb[d:]),
+                           "out": lin(layer.multihead_attn.out_proj.weight,
+                                      layer.multihead_attn.out_proj.bias)},
+            "ff": {"fc1": lin(layer.linear1.weight, layer.linear1.bias),
+                   "fc2": lin(layer.linear2.weight, layer.linear2.bias)},
+            "norm1": {"scale": jnp.asarray(layer.norm1.weight.detach().numpy()),
+                      "bias": jnp.asarray(layer.norm1.bias.detach().numpy())},
+            "norm2": {"scale": jnp.asarray(layer.norm2.weight.detach().numpy()),
+                      "bias": jnp.asarray(layer.norm2.bias.detach().numpy())},
+            "norm3": {"scale": jnp.asarray(layer.norm3.weight.detach().numpy()),
+                      "bias": jnp.asarray(layer.norm3.bias.detach().numpy())},
+        }
+    params = {
+        "aspp_head": aspp,
+        "conv_list": conv_list,
+        "visible_depth_head": head(model.visible_depth_head),
+        "in_visible_depth_head": head(model.in_visible_depth_head),
+        "cross_att_layer": {
+            "patch_x": conv(model.cross_att_layer.patch_x),
+            "patch_ym": conv(model.cross_att_layer.patch_ym),
+            "layers": layers,
+        },
+    }
+    cfg = ADDeepLabConfig(channels=tuple(channels),
+                          up_sample_channels=tuple(ups))
+    feats_j = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats_t]
+    vis, invis = addeeplab_decoder(params, cfg, feats_j, attn_impl="xla")
+
+    np.testing.assert_allclose(np.asarray(vis).transpose(0, 3, 1, 2),
+                               vis_ref.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(invis).transpose(0, 3, 1, 2),
+                               invis_ref.numpy(), rtol=1e-4, atol=1e-5)
