@@ -104,3 +104,35 @@ def test_pipeline_tensor_parallel_serving_matches_single(rng):
     base_b, blend_b = tp(img, mask)
     np.testing.assert_allclose(base_b, base_a, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(blend_b, blend_a, rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_quantize_int8_calibrated(rng):
+    """quantize_int8(calibration=...) quantizes all four trunk matmul
+    families and keeps outputs close to the bf16 pipeline."""
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    amodal_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    params_raw = init_amodal_dav2(jax.random.PRNGKey(0), raw_cfg)
+    params_amodal = init_amodal_dav2(jax.random.PRNGKey(1), amodal_cfg)
+
+    img = (rng.random((80, 100, 3)) * 255).astype(np.float32)
+    mask = np.zeros((80, 100), np.float32)
+    mask[20:50, 30:70] = 1.0
+
+    ref_pipe = AmodalDepthPipeline(params_raw, raw_cfg, params_amodal,
+                                   amodal_cfg, size=56, attn_impl="xla")
+    base_ref, blend_ref = ref_pipe(img, mask)
+
+    q_pipe = AmodalDepthPipeline(params_raw, raw_cfg, params_amodal,
+                                 amodal_cfg, size=56, attn_impl="xla")
+    q_pipe.quantize_int8(base=True, amodal=True, calibration=(img, mask))
+    for tree in (q_pipe.params_raw, q_pipe.params_amodal):
+        blocks = tree["backbone"]["blocks"]
+        import jax.numpy as jnp
+        for fam in (blocks["attn"]["qkv"], blocks["attn"]["proj"],
+                    blocks["mlp"]["fc1"], blocks["mlp"]["fc2"]):
+            assert fam["w"].dtype == jnp.int8
+
+    base_q, blend_q = q_pipe(img, mask)
+    assert np.isfinite(base_q).all() and np.isfinite(blend_q).all()
+    assert np.abs(base_q - base_ref).mean() < 0.05
+    assert np.abs(blend_q - blend_ref).mean() < 0.05
