@@ -208,8 +208,36 @@ def dump_depthfm_unet_tiny(out_path):
     print(f"depthfm_unet_tiny: out std {float(out.std()):.5f}")
 
 
+def dump_raw_dav2_vits_rect(out_path):
+    """Rectangular input (56x84 -> 4x6 patch grid): exercises the
+    aspect-aware bicubic pos-embed interpolation (dinov2.py:199-230)."""
+    import numpy as np
+    import torch
+
+    from src.models.amodalsynthdrive.depth_anything_v2_raw.dpt import (
+        DepthAnythingV2)
+
+    model = DepthAnythingV2(encoder="vits", features=64,
+                            out_channels=[48, 96, 192, 384])
+    _randomize(model, SEED + 20)
+    model.eval()
+
+    gen = torch.Generator().manual_seed(SEED + 21)
+    x = torch.rand(1, 3, 56, 84, generator=gen)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    with torch.no_grad():
+        out = model((x - mean) / std)
+
+    arrays = {"in.x": x.numpy(), "out": out.numpy()}
+    arrays.update({f"sd.{k}": v.numpy() for k, v in model.state_dict().items()})
+    np.savez(out_path, **arrays)
+    print(f"raw_dav2_vits_rect: out std {float(out.std()):.5f}")
+
+
 DUMPERS = {
     "amodal_dav2_vits": dump_amodal_dav2_vits,
+    "raw_dav2_vits_rect": dump_raw_dav2_vits_rect,
     "amodal_dav2_vits_ssi": dump_amodal_dav2_vits_ssi,
     "raw_dav2_vits": dump_raw_dav2_vits,
     "depthfm_unet_tiny": dump_depthfm_unet_tiny,

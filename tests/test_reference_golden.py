@@ -115,6 +115,17 @@ def test_reference_depthfm_unet_tiny(tmp_path):
     assert diff.max() < 5e-4, f"max diff {diff.max()}"
 
 
+def test_reference_raw_dav2_vits_rect(tmp_path):
+    """Rectangular 56x84 input: aspect-aware pos-embed interpolation."""
+    sd, inputs, golden = _split(_dump("raw_dav2_vits_rect", tmp_path))
+    cfg = infer_dav2_config(sd)
+    params = jax.tree.map(jnp.asarray, convert_dav2(sd, cfg))
+    ours = np.asarray(apply_raw_dav2(params, cfg, _nhwc(inputs["x"]),
+                                     attn_impl="xla"))
+    assert golden.std() > 1e-3
+    assert np.abs(ours - golden).max() < 5e-4
+
+
 def test_reference_raw_dav2_vits(tmp_path):
     sd, inputs, golden = _split(_dump("raw_dav2_vits", tmp_path))
     cfg = infer_dav2_config(sd)
