@@ -32,6 +32,12 @@ def multi_head_attention(q, k, v, *, impl: str | None = None,
     `flash_attention.mha`); keys beyond it are masked on every impl.
     `sm_scale`: softmax scale override (default 1/sqrt(D))."""
     impl = impl or default_attn_impl()
+    if impl == "pallas" and k.shape[2] <= 128:
+        # tiny-KV cross attention (e.g. 77 text tokens conditioning the
+        # LDM UNet): scores are [N, <=128] — flash blocking buys nothing,
+        # plain XLA fuses it better, and Mosaic chokes on some
+        # (large-d_pad, tiny-kv) tilings
+        impl = "xla"
     if impl == "pallas":
         return mha(q, k, v, kv_len=kv_len, sm_scale=sm_scale)
     if impl == "pallas-interpret":

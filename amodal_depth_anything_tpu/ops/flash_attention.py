@@ -359,6 +359,14 @@ def mha(q, k, v, *, sm_scale: float | None = None, block_q: int = 256,
     them before the loss). Skips all per-layer pad/slice copies."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    # dtype-uniform operands: precision selection keys on q.dtype and the
+    # PV dot's low-precision cast keys on v.dtype — a q=f32 / kv=bf16 mix
+    # makes Mosaic reject the folded bf16 matmul at fp32 contract
+    # precision ("Bad lhs type", verified on v5e)
+    if k.dtype != q.dtype:
+        k = k.astype(q.dtype)
+    if v.dtype != q.dtype:
+        v = v.astype(q.dtype)
     nq = q.shape[2]
     block_q = min(block_q, _round_up(nq, 128))
     if nq % 128 == 0 and nq % block_q != 0:
