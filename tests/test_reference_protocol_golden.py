@@ -478,3 +478,48 @@ def test_addeeplab_decoder_matches_reference(rng):
                                vis_ref.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(invis).transpose(0, 3, 1, 2),
                                invis_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_jo_resize_pos_embed_matches_reference(rng):
+    """jo_amodal timm-style pos-embed resize: bilinear with
+    align_corners=False (vit.py:148-163) — the DAV2 trunk uses a
+    different (bicubic + offset) scheme, so pin this one separately."""
+    import types as _types
+
+    from src.models.amodalsynthdrive.jo_amodal.dpt import vit as ref_vit
+
+    from amodal_depth_anything_tpu.ops.resize import resize2d
+
+    pe = torch.randn(1, 5 * 5 + 1, 16)
+    fake_self = _types.SimpleNamespace(start_index=1)
+    theirs = ref_vit._resize_pos_embed(fake_self, pe, 3, 7).numpy()
+
+    pe_j = jnp.asarray(pe.numpy())
+    grid = pe_j[:, 1:].reshape(1, 5, 5, -1)
+    grid = resize2d(grid, size=(3, 7), method="bilinear")
+    ours = np.asarray(jnp.concatenate(
+        [pe_j[:, :1], grid.reshape(1, 21, -1)], axis=1))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_project_readout_matches_reference(rng):
+    """'project' readout: tokens FIRST then expanded cls, Linear+GELU
+    (vit.py:78-91)."""
+    from src.models.amodalsynthdrive.jo_amodal.dpt.vit import ProjectReadout
+
+    from amodal_depth_anything_tpu.models.layers import gelu, linear
+
+    torch.manual_seed(6)
+    ro = ProjectReadout(in_features=16)
+    ro.eval()
+    x = torch.randn(2, 10, 16)
+    with torch.no_grad():
+        theirs = ro(x).numpy()
+
+    p = {"w": jnp.asarray(ro.project[0].weight.detach().numpy().T),
+         "b": jnp.asarray(ro.project[0].bias.detach().numpy())}
+    xj = jnp.asarray(x.numpy())
+    cls_t = jnp.broadcast_to(xj[:, :1], xj[:, 1:].shape)
+    merged = jnp.concatenate([xj[:, 1:], cls_t], axis=-1)
+    ours = np.asarray(gelu(linear(p, merged)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
