@@ -112,19 +112,24 @@ def apply_amodal_dav2(params: dict, cfg: DAV2Config, x: jax.Array, *,
                       guide_rgb=None, guide_mask=None, observation=None,
                       attn_impl: str | None = None,
                       remat: bool = False,
-                      act_sharding=None) -> jax.Array:
+                      act_sharding=None,
+                      pipeline_mesh=None,
+                      pipeline_microbatches: int = 4) -> jax.Array:
     """x: [B, H, W, 3] RGB in [0,1]; returns depth [B, H', W', 1]
     (H' = 14 * (H // 14)), sigmoid-compressed unless ssi/raw head.
 
     `act_sharding`: optional NamedSharding for the trunk's token stream
-    (sequence parallelism; see dinov2._run_blocks)."""
+    (sequence parallelism; see dinov2._run_blocks). `pipeline_mesh`:
+    run the trunk as a GPipe pipeline over the mesh's 'pipe' axis."""
     x = _normalize(x)
     guide = None if cfg.raw else build_guide(cfg, guide_rgb, guide_mask,
                                              observation)
     ph, pw = x.shape[1] // 14, x.shape[2] // 14
     feats = dinov2_intermediate_layers(
         params["backbone"], cfg.vit, x, guide, cfg.taps,
-        attn_impl=attn_impl, remat=remat, act_sharding=act_sharding)
+        attn_impl=attn_impl, remat=remat, act_sharding=act_sharding,
+        pipeline_mesh=pipeline_mesh,
+        pipeline_microbatches=pipeline_microbatches)
     return dpt_head(params["depth_head"], cfg.dpt, feats, (ph, pw))
 
 

@@ -239,10 +239,17 @@ def dinov2_intermediate_layers(
     attn_impl: str | None = None,
     remat: bool = False,
     act_sharding=None,
+    pipeline_mesh=None,
+    pipeline_microbatches: int = 4,
 ) -> list[tuple[jax.Array, jax.Array]]:
     """Forward returning [(patch_tokens [B,N,D], cls [B,D])] per tap, final-
     layernormed (reference `get_intermediate_layers(..., norm=True,
-    return_class_token=True)`, dinov2.py:324-349)."""
+    return_class_token=True)`, dinov2.py:324-349).
+
+    `pipeline_mesh`: a Mesh with a 'pipe' axis — the trunk runs as a
+    GPipe pipeline over its stages (parallel/pipeline.py) with the DPT
+    taps collected across stages; batch must divide
+    `pipeline_microbatches`. Mutually exclusive with `act_sharding`."""
     if taps is None:
         taps = (cfg.depth - 1,)
     tokens = prepare_tokens(params, cfg, x, guide)
@@ -260,9 +267,20 @@ def dinov2_intermediate_layers(
         if n_pad != n_true:
             tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n_true), (0, 0)))
             kv_len = n_true
-    raw = _run_blocks(params["blocks"], tokens, taps, cfg,
-                      attn_impl=impl, remat=remat, kv_len=kv_len,
-                      act_sharding=act_sharding)
+    if pipeline_mesh is not None:
+        from ..parallel.pipeline import pipeline_vit_blocks
+
+        def block_fn(p, t):
+            return vit_block(p, t, num_heads=cfg.num_heads, ffn=cfg.ffn,
+                             attn_impl=impl, kv_len=kv_len)
+
+        _, raw = pipeline_vit_blocks(
+            params["blocks"], tokens, block_fn, mesh=pipeline_mesh,
+            n_microbatches=pipeline_microbatches, taps=tuple(sorted(taps)))
+    else:
+        raw = _run_blocks(params["blocks"], tokens, taps, cfg,
+                          attn_impl=impl, remat=remat, kv_len=kv_len,
+                          act_sharding=act_sharding)
     out = []
     for r in raw:
         n = layer_norm(params["norm"], r[:, :n_true])

@@ -96,3 +96,27 @@ def test_stage_params_split():
     staged = stage_params(stacked, 2)
     qkv = staged["attn"]["qkv"]["w"]
     assert qkv.shape[:2] == (2, 2)  # 4 layers -> 2 stages x 2 layers
+
+
+def test_trunk_pipeline_integration_matches_sequential(rng):
+    """dinov2_intermediate_layers(pipeline_mesh=...) — the whole guided
+    model runs with a pipelined trunk and must match the sequential path
+    (taps + final norm + DPT head end to end)."""
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, apply_amodal_dav2, init_amodal_dav2)
+
+    cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    params = init_amodal_dav2(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(rng.random((4, 56, 56, 3)), jnp.float32)
+    m = jnp.asarray((rng.random((4, 56, 56, 1)) > 0.5), jnp.float32) * 2 - 1
+    o = jnp.asarray(rng.random((4, 56, 56, 1)), jnp.float32) * 2 - 1
+
+    ref = apply_amodal_dav2(params, cfg, x, guide_mask=m, observation=o,
+                            attn_impl="xla")
+
+    mesh = make_mesh(MeshConfig(data=2, model=1, pipe=4))
+    out = apply_amodal_dav2(params, cfg, x, guide_mask=m, observation=o,
+                            attn_impl="xla", pipeline_mesh=mesh,
+                            pipeline_microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
