@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 __all__ = ["quantize_linear_int8", "quantize_vit_trunk_int8",
            "collect_trunk_act_stats", "calibrate_amodal_dav2",
-           "int8_linear", "ACT_SIGMA"]
+           "merge_act_stats", "int8_linear", "ACT_SIGMA"]
 
 ACT_SIGMA = 6.0
 
@@ -147,6 +147,17 @@ def calibrate_amodal_dav2(params: dict, cfg, x: jax.Array, *,
                                              observation)
     return collect_trunk_act_stats(params, cfg.vit, _normalize(x), guide,
                                    attn_impl=attn_impl)
+
+
+def merge_act_stats(stats_list) -> dict:
+    """Element-wise max over per-batch stats dicts — run
+    `collect_trunk_act_stats`/`calibrate_amodal_dav2` over several
+    calibration batches and merge for robust scales."""
+    out = dict(stats_list[0])
+    for s in stats_list[1:]:
+        for k, v in s.items():
+            out[k] = jnp.maximum(out[k], v)
+    return out
 
 
 def _stat_scale(amax: jax.Array, margin: float) -> jax.Array:

@@ -119,3 +119,13 @@ def test_calibrated_trunk_quantizes_all_four_families(rng):
     assert np.isfinite(out).all()
     assert np.abs(out - ref).max() < 0.08, np.abs(out - ref).max()
     assert np.abs(out - ref).mean() < 0.02
+
+
+def test_merge_act_stats(rng):
+    from amodal_depth_anything_tpu.ops.quant import merge_act_stats
+
+    a = {"qkv_in": jnp.asarray([1.0, 3.0]), "fc1_in": jnp.asarray([2.0, 1.0])}
+    b = {"qkv_in": jnp.asarray([2.0, 1.0]), "fc1_in": jnp.asarray([1.0, 4.0])}
+    m = merge_act_stats([a, b])
+    np.testing.assert_array_equal(np.asarray(m["qkv_in"]), [2.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(m["fc1_in"]), [2.0, 4.0])
