@@ -37,7 +37,9 @@ import jax.numpy as jnp
 
 __all__ = ["quantize_linear_int8", "quantize_vit_trunk_int8",
            "collect_trunk_act_stats", "calibrate_amodal_dav2",
-           "merge_act_stats", "int8_linear", "ACT_SIGMA"]
+           "merge_act_stats", "int8_linear", "int8_conv2d",
+           "quantize_conv_int8", "collect_dpt_head_act_stats",
+           "quantize_dpt_head_int8", "calibrate_dav2_head", "ACT_SIGMA"]
 
 ACT_SIGMA = 6.0
 
@@ -207,3 +209,198 @@ def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA,
     backbone["blocks"] = blocks
     params["backbone"] = backbone
     return params
+
+
+# --------------------------------------------------------------- int8 convs
+
+def quantize_conv_int8(p: dict, act_scale) -> dict:
+    """Per-output-channel weight quant of a conv {'w': [kh,kw,cin,cout]}.
+
+    v5e runs int8 convs at up to 3.4x the bf16 rate (measured 285 TOP/s
+    vs 83 TF/s at the DPT-head 3x3/384ch/292^2 shape)."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True) / 127.0
+    s_w = jnp.maximum(s_w, 1e-12)
+    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    out = {"w": w_q, "w_scale": s_w.reshape(-1),
+           "act_scale": jnp.asarray(act_scale, jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def int8_conv2d(p: dict, x: jax.Array, *, stride: int = 1,
+                padding="SAME") -> jax.Array:
+    """W8A8 conv: static-scale activation quant + int8 MXU conv.
+
+    Called through ops.conv.conv2d's dtype dispatch, so quantized head
+    param trees run through the unmodified dpt_head."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    s_act = p["act_scale"].astype(jnp.float32)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_act),
+                  -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, p["w"], window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s_act * p["w_scale"])
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ----------------------------------------------------------- DPT head int8
+
+def collect_dpt_head_act_stats(params: dict, cfg, features,
+                               patch_hw) -> dict:
+    """Instrumented dpt_head forward: amax of every quantizable conv's
+    input, keyed by the param-tree path; returns (stats, head_output).
+    Mirrors models/dpt.py::dpt_head op-for-op; `tests/test_quant.py` pins
+    the mirrored output against the real head to catch drift. The final
+    1x1 (output_conv2.conv2) is excluded — it is tiny and feeds the
+    sigmoid directly."""
+    from ..ops.conv import conv2d, conv_transpose_same_stride, layer_norm_2d
+    from ..ops.resize import resize2d
+
+    stats: dict = {}
+
+    def amax(path, a):
+        stats[path] = jnp.max(jnp.abs(a)).astype(jnp.float32)
+
+    def rcu(p, path, x):
+        h = jax.nn.relu(x)
+        amax(f"{path}.conv1", h)
+        out = conv2d(p["conv1"], h, padding=1)
+        h = jax.nn.relu(out)
+        amax(f"{path}.conv2", h)
+        out = conv2d(p["conv2"], h, padding=1)
+        return out + x
+
+    def fusion(p, path, x, skip, size):
+        out = x
+        if skip is not None:
+            out = out + rcu(p["resConfUnit1"], f"{path}.resConfUnit1", skip)
+        out = rcu(p["resConfUnit2"], f"{path}.resConfUnit2", out)
+        if size is None:
+            out = resize2d(out, scale_factor=2.0, method="bilinear",
+                           align_corners=True)
+        else:
+            out = resize2d(out, size=size, method="bilinear",
+                           align_corners=True)
+        amax(f"{path}.out_conv", out)
+        return conv2d(p["out_conv"], out, padding=0)
+
+    ph, pw = patch_hw
+    taps = []
+    for i, (tokens, _cls) in enumerate(features):
+        b, n, d = tokens.shape
+        x = tokens.reshape(b, ph, pw, d)
+        amax(f"projects.{i}", x)
+        x = conv2d(params["projects"][str(i)], x, padding=0)
+        if i == 0:
+            x = conv_transpose_same_stride(params["resize_layers"]["0"], x,
+                                           k=4)
+        elif i == 1:
+            x = conv_transpose_same_stride(params["resize_layers"]["1"], x,
+                                           k=2)
+        elif i == 3:
+            amax("resize_layers.3", x)
+            x = conv2d(params["resize_layers"]["3"], x, stride=2, padding=1)
+        taps.append(x)
+
+    if cfg.use_input_projection:
+        proj = []
+        for i, x in enumerate(taps):
+            p = params["input_projection"][str(i)]
+            amax(f"input_projection.{i}.conv", x)
+            x = conv2d(p["conv"], x, padding=1)
+            x = layer_norm_2d(p["ln"], x)
+            proj.append(jax.nn.relu(x))
+        taps = proj
+
+    sc = params["scratch"]
+    rn = []
+    for i, x in enumerate(taps):
+        amax(f"scratch.layer{i + 1}_rn", x)
+        rn.append(conv2d(sc[f"layer{i + 1}_rn"], x, padding=1))
+    l1, l2, l3, l4 = rn
+
+    path4 = fusion(sc["refinenet4"], "scratch.refinenet4", l4, None,
+                   size=l3.shape[1:3])
+    path3 = fusion(sc["refinenet3"], "scratch.refinenet3", path4, l3,
+                   size=l2.shape[1:3])
+    path2 = fusion(sc["refinenet2"], "scratch.refinenet2", path3, l2,
+                   size=l1.shape[1:3])
+    path1 = fusion(sc["refinenet1"], "scratch.refinenet1", path2, l1,
+                   size=None)
+
+    amax("scratch.output_conv1", path1)
+    out = conv2d(sc["output_conv1"], path1, padding=1)
+    out = resize2d(out, size=(ph * cfg.patch_size, pw * cfg.patch_size),
+                   method="bilinear", align_corners=True)
+    amax("scratch.output_conv2.conv1", out)
+    out = conv2d(sc["output_conv2"]["conv1"], out, padding=1)
+    out = jax.nn.relu(out)
+    out = conv2d(sc["output_conv2"]["conv2"], out, padding=0)
+    if cfg.head_mode == "sigmoid":
+        out = jax.nn.sigmoid(out)
+    elif cfg.head_mode == "relu":
+        out = jax.nn.relu(out)
+    return stats, out
+
+
+def quantize_dpt_head_int8(params: dict, act_stats: dict, *,
+                           margin: float = 1.25) -> dict:
+    """Quantize the DPT head's convs with calibrated activation scales
+    (collect_dpt_head_act_stats). Shares the untouched leaves; the final
+    sigmoid-feeding 1x1 stays high precision."""
+    # tree_map rebuilds the containers; leaves are shared with the input
+    params = jax.tree.map(lambda a: a, params)
+
+    def q(container, key, path):
+        container[key] = quantize_conv_int8(
+            container[key], _stat_scale(act_stats[path], margin))
+
+    for i in range(4):
+        q(params["projects"], str(i), f"projects.{i}")
+    q(params["resize_layers"], "3", "resize_layers.3")
+    if "input_projection" in params:
+        for i in range(4):
+            q(params["input_projection"][str(i)], "conv",
+              f"input_projection.{i}.conv")
+    sc = params["scratch"]
+    for i in range(4):
+        q(sc, f"layer{i + 1}_rn", f"scratch.layer{i + 1}_rn")
+        r = f"scratch.refinenet{i + 1}"
+        ref = sc[f"refinenet{i + 1}"]
+        # refinenet4 has no skip input, so its resConfUnit1 never runs and
+        # has no stats -> stays high precision (guarded below)
+        for unit in ("resConfUnit1", "resConfUnit2"):
+            key = f"{r}.{unit}.conv1"
+            if key in act_stats:
+                q(ref[unit], "conv1", f"{r}.{unit}.conv1")
+                q(ref[unit], "conv2", f"{r}.{unit}.conv2")
+        q(ref, "out_conv", f"{r}.out_conv")
+    q(sc, "output_conv1", "scratch.output_conv1")
+    q(sc["output_conv2"], "conv1", "scratch.output_conv2.conv1")
+    return params
+
+
+def calibrate_dav2_head(params: dict, cfg, x: jax.Array, *,
+                        guide_rgb=None, guide_mask=None, observation=None,
+                        attn_impl: str | None = None) -> dict:
+    """Head-conv activation stats for an AmodalDAv2/raw-DAV2 tree: runs
+    the trunk to get the tap features, then the instrumented head."""
+    from ..models.amodal_dav2 import _normalize, build_guide
+    from ..models.dinov2 import dinov2_intermediate_layers
+
+    guide = None if cfg.raw else build_guide(cfg, guide_rgb, guide_mask,
+                                             observation)
+    xn = _normalize(x)
+    feats = dinov2_intermediate_layers(params["backbone"], cfg.vit, xn,
+                                       guide, cfg.taps, attn_impl=attn_impl)
+    ph, pw = x.shape[1] // 14, x.shape[2] // 14
+    stats, _ = collect_dpt_head_act_stats(params["depth_head"], cfg.dpt,
+                                          feats, (ph, pw))
+    return stats

@@ -70,8 +70,10 @@ def main():
         # one-batch calibration forward so attn.proj + fc2/w3 quantize too
         # (~100% of trunk matmul FLOPs int8 instead of 58-69%).
         from amodal_depth_anything_tpu.ops.quant import (
-            calibrate_amodal_dav2, quantize_vit_trunk_int8)
+            calibrate_amodal_dav2, calibrate_dav2_head,
+            quantize_dpt_head_int8, quantize_vit_trunk_int8)
         rgb01 = image / 255.0
+        int8_head = os.environ.get("AMODAL_INT8_HEAD", "") == "1"
 
         def quantize(p, cfg, **guides):
             if not int8_calib:
@@ -79,7 +81,17 @@ def main():
             stats = jax.jit(
                 lambda p_, x_: calibrate_amodal_dav2(p_, cfg, x_, **guides)
             )(p, rgb01)
-            return quantize_vit_trunk_int8(p, act_stats=stats, margin=1.25)
+            p = quantize_vit_trunk_int8(p, act_stats=stats, margin=1.25)
+            if int8_head:
+                # int8 head convs too (3.4x conv rate on v5e); calibrated
+                # on the same batch
+                hstats = jax.jit(
+                    lambda p_, x_: calibrate_dav2_head(p_, cfg, x_, **guides)
+                )(p, rgb01)
+                p = dict(p)
+                p["depth_head"] = quantize_dpt_head_int8(p["depth_head"],
+                                                         hstats)
+            return p
 
         if int8_base:
             p_raw = quantize(p_raw, raw_cfg)
@@ -132,7 +144,9 @@ def main():
     # BASELINE.json north star is v5e-8 aggregate vs one A100: >=2x.
     v5e8_aggregate = img_per_sec * 8
     quant_tag = (" int8-base" if int8_base else "") + \
-        (" int8-amodal" if int8_amodal else "")
+        (" int8-amodal" if int8_amodal else "") + \
+        (" int8-head" if os.environ.get("AMODAL_INT8_HEAD", "") == "1"
+         else "")
     print(json.dumps({
         "metric": f"amodal-depth images/sec/chip @ {size}px "
                   f"(base {base_enc} + amodal {amodal_enc}, bf16{quant_tag}, "

@@ -129,3 +129,55 @@ def test_merge_act_stats(rng):
     m = merge_act_stats([a, b])
     np.testing.assert_array_equal(np.asarray(m["qkv_in"]), [2.0, 3.0])
     np.testing.assert_array_equal(np.asarray(m["fc1_in"]), [2.0, 4.0])
+
+
+def _head_fixture(rng):
+    from amodal_depth_anything_tpu.models.dpt import (DPTConfig, dpt_head,
+                                                      init_dpt_head)
+
+    cfg = DPTConfig(in_channels=64, features=16, out_channels=(8, 16, 32, 32))
+    params = init_dpt_head(jax.random.PRNGKey(2), cfg)
+    # conv-transpose resize layers are zero-initialized; randomize so the
+    # comparison has signal
+    for k in ("0", "1"):
+        rl = params["resize_layers"][k]
+        rl["w"] = jax.random.normal(jax.random.PRNGKey(3), rl["w"].shape) * 0.1
+    ph = pw = 4
+    feats = []
+    for _ in range(4):
+        tok = jnp.asarray(rng.standard_normal((1, ph * pw, 64)), jnp.float32)
+        feats.append((tok, tok[:, 0]))
+    return cfg, params, feats, (ph, pw), dpt_head
+
+
+def test_head_act_stats_instrumented_matches_head(rng):
+    from amodal_depth_anything_tpu.ops.quant import collect_dpt_head_act_stats
+
+    cfg, params, feats, hw, dpt_head = _head_fixture(rng)
+    ref = dpt_head(params, cfg, feats, hw)
+    stats, out = collect_dpt_head_act_stats(params, cfg, feats, hw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert all(float(v) > 0 for v in stats.values())
+    # every quantizable conv got a stat except refinenet4's unused skip RCU
+    assert "scratch.refinenet4.resConfUnit1.conv1" not in stats
+    assert "scratch.refinenet1.resConfUnit1.conv1" in stats
+
+
+def test_quantized_head_forward_close(rng):
+    from amodal_depth_anything_tpu.ops.quant import (
+        collect_dpt_head_act_stats, quantize_dpt_head_int8)
+
+    cfg, params, feats, hw, dpt_head = _head_fixture(rng)
+    ref = np.asarray(dpt_head(params, cfg, feats, hw))
+    stats, _ = collect_dpt_head_act_stats(params, cfg, feats, hw)
+    params_q = quantize_dpt_head_int8(params, stats)
+    assert params_q["projects"]["0"]["w"].dtype == jnp.int8
+    assert params_q["scratch"]["refinenet1"]["out_conv"]["w"].dtype == jnp.int8
+    # final sigmoid-feeding conv and refinenet4's unused RCU stay bf16/f32
+    assert params_q["scratch"]["output_conv2"]["conv2"]["w"].dtype != jnp.int8
+    assert params_q["scratch"]["refinenet4"]["resConfUnit1"]["conv1"]["w"].dtype != jnp.int8
+
+    out = np.asarray(dpt_head(params_q, cfg, feats, hw))
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).max() < 0.1, np.abs(out - ref).max()
+    assert np.abs(out - ref).mean() < 0.02
