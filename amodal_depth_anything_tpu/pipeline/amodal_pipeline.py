@@ -109,18 +109,26 @@ class AmodalDepthPipeline:
         self.dtype = dtype
 
     def quantize_int8(self, *, base: bool = True, amodal: bool = False,
-                      calibration=None, margin: float = 1.25) -> None:
-        """Opt-in W8A8 int8 serving for the frozen trunks (ops/quant.py).
+                      head: bool = False, calibration=None,
+                      margin: float = 1.25) -> None:
+        """Opt-in W8A8 int8 serving for the frozen models (ops/quant.py).
 
         Without `calibration`: calibration-free LN-bound scales on the
         LN-fed matmuls only. With `calibration=(image, mask)` (same
         conventions as __call__: [H,W(,3)] or batched, image in [0,255]):
         one instrumented forward records per-layer activation maxima and
-        ALL FOUR trunk matmul families quantize (~100% of trunk matmul
-        FLOPs int8; v5e @1022 b8: 3.505 img/s vs 3.11 bf16, p50 318 ms).
-        Trades the <1e-3 reference-parity gate for speed — never default.
+        ALL FOUR trunk matmul families quantize; `head=True` additionally
+        quantizes the DPT-head convs (requires calibration). v5e @1022
+        b8 vs 3.11 img/s bf16: trunks 3.505 (p50 318 ms), + heads 3.662
+        (p50 301 ms). Trades the <1e-3 reference-parity gate for speed —
+        never default.
         """
-        from ..ops.quant import calibrate_amodal_dav2, quantize_vit_trunk_int8
+        from ..ops.quant import (calibrate_amodal_dav2, calibrate_dav2_head,
+                                 quantize_dpt_head_int8,
+                                 quantize_vit_trunk_int8)
+
+        if head and calibration is None:
+            raise ValueError("head=True requires calibration=(image, mask)")
 
         stats_raw = stats_amodal = None
         if calibration is not None:
@@ -158,6 +166,37 @@ class AmodalDepthPipeline:
         if amodal:
             self.params_amodal = quantize_vit_trunk_int8(
                 self.params_amodal, act_stats=stats_amodal, margin=margin)
+        if head:
+            # head calibration runs on the already-quantized trunks so the
+            # recorded ranges match serving conditions
+            base_in = resize2d(img01, size=size, method="bilinear")
+            if base:
+                hs = calibrate_dav2_head(self.params_raw, self.raw_cfg,
+                                         base_in, attn_impl=self.attn_impl)
+                pr = dict(self.params_raw)
+                pr["depth_head"] = quantize_dpt_head_int8(
+                    pr["depth_head"], hs, margin=margin)
+                self.params_raw = pr
+            if amodal:
+                m = (resize_nearest(jnp.asarray(msk[..., None], self.dtype),
+                                    size=size) > 0).astype(self.dtype)
+                base_d, _ = amodal_depth_graph(
+                    self.params_raw, self.params_amodal,
+                    jnp.asarray(img, self.dtype),
+                    jnp.asarray(msk[..., None], self.dtype),
+                    raw_cfg=self.raw_cfg, amodal_cfg=self.amodal_cfg,
+                    size=self.size, attn_impl=self.attn_impl,
+                    act_sharding=self.act_sharding)
+                hs = calibrate_dav2_head(
+                    self.params_amodal, self.amodal_cfg,
+                    resize_nearest(img01, size=size),
+                    guide_mask=m * 2.0 - 1.0,
+                    observation=base_d[..., None] * 2.0 - 1.0,
+                    attn_impl=self.attn_impl)
+                pa = dict(self.params_amodal)
+                pa["depth_head"] = quantize_dpt_head_int8(
+                    pa["depth_head"], hs, margin=margin)
+                self.params_amodal = pa
 
     @classmethod
     def from_checkpoints(cls, base_ckpt: str, amodal_ckpt: str, **kw):

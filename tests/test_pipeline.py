@@ -124,13 +124,18 @@ def test_pipeline_quantize_int8_calibrated(rng):
 
     q_pipe = AmodalDepthPipeline(params_raw, raw_cfg, params_amodal,
                                  amodal_cfg, size=56, attn_impl="xla")
-    q_pipe.quantize_int8(base=True, amodal=True, calibration=(img, mask))
+    q_pipe.quantize_int8(base=True, amodal=True, head=True,
+                         calibration=(img, mask))
+    import jax.numpy as jnp
     for tree in (q_pipe.params_raw, q_pipe.params_amodal):
         blocks = tree["backbone"]["blocks"]
-        import jax.numpy as jnp
         for fam in (blocks["attn"]["qkv"], blocks["attn"]["proj"],
                     blocks["mlp"]["fc1"], blocks["mlp"]["fc2"]):
             assert fam["w"].dtype == jnp.int8
+        # head convs quantized too; sigmoid-feeding final 1x1 stays f32
+        sc = tree["depth_head"]["scratch"]
+        assert sc["output_conv1"]["w"].dtype == jnp.int8
+        assert sc["output_conv2"]["conv2"]["w"].dtype != jnp.int8
 
     base_q, blend_q = q_pipe(img, mask)
     assert np.isfinite(base_q).all() and np.isfinite(blend_q).all()
