@@ -268,11 +268,22 @@ def dinov2_intermediate_layers(
             tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n_true), (0, 0)))
             kv_len = n_true
     if pipeline_mesh is not None:
+        if act_sharding is not None:
+            raise ValueError(
+                "pipeline_mesh and act_sharding are mutually exclusive")
         from ..parallel.pipeline import pipeline_vit_blocks
 
         def block_fn(p, t):
             return vit_block(p, t, num_heads=cfg.num_heads, ffn=cfg.ffn,
                              attn_impl=impl, kv_len=kv_len)
+
+        if remat == "attn":
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_lse"))
+        elif remat:
+            block_fn = jax.checkpoint(block_fn)
 
         _, raw = pipeline_vit_blocks(
             params["blocks"], tokens, block_fn, mesh=pipeline_mesh,

@@ -129,8 +129,12 @@ class AmodalDepthPipeline:
 
         if head and calibration is None:
             raise ValueError("head=True requires calibration=(image, mask)")
+        if head and not (base or amodal):
+            raise ValueError("head=True quantizes the heads of the models "
+                             "selected by base=/amodal= — enable at least one")
 
         stats_raw = stats_amodal = None
+        base_in = amodal_guides = None
         if calibration is not None:
             image, mask = calibration
             img = np.asarray(image, np.float32)
@@ -139,11 +143,13 @@ class AmodalDepthPipeline:
                 img, msk = img[None], msk[None]
             img01 = jnp.asarray(img, self.dtype) / 255.0
             size = (self.size, self.size)
+            # jit every calibration forward: eager dispatch through the
+            # TPU tunnel costs ~0.8 s/op and these run hundreds of ops
             if base:
-                stats_raw = calibrate_amodal_dav2(
-                    self.params_raw, self.raw_cfg,
-                    resize2d(img01, size=size, method="bilinear"),
-                    attn_impl=self.attn_impl)
+                base_in = resize2d(img01, size=size, method="bilinear")
+                stats_raw = jax.jit(functools.partial(
+                    calibrate_amodal_dav2, cfg=self.raw_cfg,
+                    attn_impl=self.attn_impl))(self.params_raw, x=base_in)
             if amodal:
                 m = (resize_nearest(jnp.asarray(msk[..., None], self.dtype),
                                     size=size) > 0).astype(self.dtype)
@@ -154,12 +160,14 @@ class AmodalDepthPipeline:
                     raw_cfg=self.raw_cfg, amodal_cfg=self.amodal_cfg,
                     size=self.size, attn_impl=self.attn_impl,
                     act_sharding=self.act_sharding)
-                stats_amodal = calibrate_amodal_dav2(
-                    self.params_amodal, self.amodal_cfg,
-                    resize_nearest(img01, size=size),
-                    guide_mask=m * 2.0 - 1.0,
-                    observation=base_d[..., None] * 2.0 - 1.0,
-                    attn_impl=self.attn_impl)
+                amodal_guides = {
+                    "guide_mask": m * 2.0 - 1.0,
+                    "observation": base_d[..., None] * 2.0 - 1.0,
+                }
+                stats_amodal = jax.jit(functools.partial(
+                    calibrate_amodal_dav2, cfg=self.amodal_cfg,
+                    attn_impl=self.attn_impl, **amodal_guides))(
+                        self.params_amodal, x=resize_nearest(img01, size=size))
         if base:
             self.params_raw = quantize_vit_trunk_int8(
                 self.params_raw, act_stats=stats_raw, margin=margin)
@@ -168,31 +176,22 @@ class AmodalDepthPipeline:
                 self.params_amodal, act_stats=stats_amodal, margin=margin)
         if head:
             # head calibration runs on the already-quantized trunks so the
-            # recorded ranges match serving conditions
-            base_in = resize2d(img01, size=size, method="bilinear")
+            # recorded ranges match serving conditions (jitted, same reason
+            # as above)
             if base:
-                hs = calibrate_dav2_head(self.params_raw, self.raw_cfg,
-                                         base_in, attn_impl=self.attn_impl)
+                hs = jax.jit(functools.partial(
+                    calibrate_dav2_head, cfg=self.raw_cfg,
+                    attn_impl=self.attn_impl))(self.params_raw, x=base_in)
                 pr = dict(self.params_raw)
                 pr["depth_head"] = quantize_dpt_head_int8(
                     pr["depth_head"], hs, margin=margin)
                 self.params_raw = pr
             if amodal:
-                m = (resize_nearest(jnp.asarray(msk[..., None], self.dtype),
-                                    size=size) > 0).astype(self.dtype)
-                base_d, _ = amodal_depth_graph(
-                    self.params_raw, self.params_amodal,
-                    jnp.asarray(img, self.dtype),
-                    jnp.asarray(msk[..., None], self.dtype),
-                    raw_cfg=self.raw_cfg, amodal_cfg=self.amodal_cfg,
-                    size=self.size, attn_impl=self.attn_impl,
-                    act_sharding=self.act_sharding)
-                hs = calibrate_dav2_head(
-                    self.params_amodal, self.amodal_cfg,
-                    resize_nearest(img01, size=size),
-                    guide_mask=m * 2.0 - 1.0,
-                    observation=base_d[..., None] * 2.0 - 1.0,
-                    attn_impl=self.attn_impl)
+                hs = jax.jit(functools.partial(
+                    calibrate_dav2_head, cfg=self.amodal_cfg,
+                    attn_impl=self.attn_impl, **amodal_guides))(
+                        self.params_amodal,
+                        x=resize_nearest(img01, size=size))
                 pa = dict(self.params_amodal)
                 pa["depth_head"] = quantize_dpt_head_int8(
                     pa["depth_head"], hs, margin=margin)

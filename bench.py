@@ -143,10 +143,11 @@ def main():
 
     # BASELINE.json north star is v5e-8 aggregate vs one A100: >=2x.
     v5e8_aggregate = img_per_sec * 8
+    head_active = (os.environ.get("AMODAL_INT8_HEAD", "") == "1"
+                   and int8_calib and (int8_base or int8_amodal))
     quant_tag = (" int8-base" if int8_base else "") + \
         (" int8-amodal" if int8_amodal else "") + \
-        (" int8-head" if os.environ.get("AMODAL_INT8_HEAD", "") == "1"
-         else "")
+        (" int8-head" if head_active else "")
     print(json.dumps({
         "metric": f"amodal-depth images/sec/chip @ {size}px "
                   f"(base {base_enc} + amodal {amodal_enc}, bf16{quant_tag}, "
