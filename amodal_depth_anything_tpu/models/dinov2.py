@@ -241,6 +241,7 @@ def dinov2_intermediate_layers(
     act_sharding=None,
     pipeline_mesh=None,
     pipeline_microbatches: int = 4,
+    token_merge: tuple[int, int] | None = None,
 ) -> list[tuple[jax.Array, jax.Array]]:
     """Forward returning [(patch_tokens [B,N,D], cls [B,D])] per tap, final-
     layernormed (reference `get_intermediate_layers(..., norm=True,
@@ -249,7 +250,15 @@ def dinov2_intermediate_layers(
     `pipeline_mesh`: a Mesh with a 'pipe' axis — the trunk runs as a
     GPipe pipeline over its stages (parallel/pipeline.py) with the DPT
     taps collected across stages; batch must divide
-    `pipeline_microbatches`. Mutually exclusive with `act_sharding`."""
+    `pipeline_microbatches`. Mutually exclusive with `act_sharding`.
+
+    `token_merge=(after_layer, r)`: ToMe-style opt-in serving mode
+    (ops/token_merge.py) — after block `after_layer`, merge the r
+    best-matched tokens (bipartite cosine matching, cls protected) and
+    run the remaining blocks on the reduced stream; later DPT taps are
+    un-merged back to the full grid. QUALITY UNVALIDATED against real
+    checkpoints (ROADMAP); taps at or before `after_layer` are
+    bit-identical to the unmerged forward."""
     if taps is None:
         taps = (cfg.depth - 1,)
     tokens = prepare_tokens(params, cfg, x, guide)
@@ -288,6 +297,35 @@ def dinov2_intermediate_layers(
         _, raw = pipeline_vit_blocks(
             params["blocks"], tokens, block_fn, mesh=pipeline_mesh,
             n_microbatches=pipeline_microbatches, taps=tuple(sorted(taps)))
+    elif token_merge is not None:
+        from ..ops.token_merge import tome_merge, tome_unmerge
+
+        merge_after, r = token_merge
+        taps = sorted(taps)
+        pre_taps = [t for t in taps if t <= merge_after]
+        post_taps = [t for t in taps if t > merge_after]
+        seg_taps = sorted(set(pre_taps + [merge_after]))
+        pre_raw = _run_blocks(params["blocks"], tokens, seg_taps, cfg,
+                              attn_impl=impl, remat=remat, kv_len=kv_len,
+                              act_sharding=act_sharding)
+        at_merge = pre_raw[seg_taps.index(merge_after)]
+        # merge on TRUE tokens only (padded rows carry garbage), then
+        # re-pad the reduced stream for the kernels
+        merged, unmerge_idx = tome_merge(at_merge[:, :n_true], r)
+        m_true = n_true - r
+        m_kv = None
+        if kv_len is not None or (impl.startswith("pallas")
+                                  and pad_seq_len(m_true) != m_true):
+            m_pad = pad_seq_len(m_true)
+            merged = jnp.pad(merged, ((0, 0), (0, m_pad - m_true), (0, 0)))
+            m_kv = m_true
+        rest = jax.tree.map(lambda a: a[merge_after + 1:], params["blocks"])
+        post_raw = _run_blocks(rest, merged,
+                               [t - merge_after - 1 for t in post_taps],
+                               cfg, attn_impl=impl, remat=remat,
+                               kv_len=m_kv, act_sharding=act_sharding)
+        raw = [pre_raw[seg_taps.index(t)] for t in pre_taps] + [
+            tome_unmerge(rt[:, :m_true], unmerge_idx) for rt in post_raw]
     else:
         raw = _run_blocks(params["blocks"], tokens, taps, cfg,
                           attn_impl=impl, remat=remat, kv_len=kv_len,

@@ -36,11 +36,13 @@ __all__ = ["amodal_depth_graph", "AmodalDepthPipeline"]
 
 
 @functools.partial(jax.jit, static_argnames=("raw_cfg", "amodal_cfg", "size",
-                                             "attn_impl", "act_sharding"))
+                                             "attn_impl", "act_sharding",
+                                             "base_token_merge"))
 def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
                        raw_cfg: DAV2Config, amodal_cfg: DAV2Config,
                        size: int = 518, attn_impl: str | None = None,
-                       act_sharding=None):
+                       act_sharding=None,
+                       base_token_merge: tuple[int, int] | None = None):
     """image: [B,h,w,3] float in [0,255]; mask: [B,h,w,1] float (>0 = on).
 
     Returns (base_depth [B,S,S], blended_depth [B,S,S]) in [0,1].
@@ -54,7 +56,8 @@ def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
     base_in = resize2d(img01, size=(size, size), method="bilinear")
     base_depth = apply_raw_dav2(params_raw, raw_cfg, base_in,
                                 attn_impl=attn_impl,
-                                act_sharding=act_sharding)  # [B,S,S]
+                                act_sharding=act_sharding,
+                                token_merge=base_token_merge)  # [B,S,S]
     lo = jnp.min(base_depth, axis=(-1, -2), keepdims=True)
     hi = jnp.max(base_depth, axis=(-1, -2), keepdims=True)
     base_depth = (base_depth - lo) / jnp.maximum(hi - lo, 1e-8)

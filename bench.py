@@ -101,10 +101,18 @@ def main():
                 guide_mask=mask * 2.0 - 1.0,
                 observation=jnp.zeros_like(mask))
 
+    # Opt-in ToMe token merge for the frozen base trunk: "layer,r"
+    # (e.g. AMODAL_TOME_BASE="9,2560" merges 2560 of 5330 tokens after
+    # the first tap). Quality unvalidated without real checkpoints
+    # (ROADMAP) — never default.
+    tome_env = os.environ.get("AMODAL_TOME_BASE", "")
+    base_tm = tuple(int(v) for v in tome_env.split(",")) if tome_env else None
+
     def run():
         base, blended = amodal_depth_graph(
             p_raw, p_amodal, image, mask,
-            raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=size)
+            raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=size,
+            base_token_merge=base_tm)
         return blended
 
     def sync(x):
@@ -131,7 +139,7 @@ def main():
     def run1():
         return amodal_depth_graph(p_raw, p_amodal, img1, mask1,
                                   raw_cfg=raw_cfg, amodal_cfg=amodal_cfg,
-                                  size=size)[1]
+                                  size=size, base_token_merge=base_tm)[1]
 
     sync(run1())
     lat = []
@@ -147,7 +155,8 @@ def main():
                    and int8_calib and (int8_base or int8_amodal))
     quant_tag = (" int8-base" if int8_base else "") + \
         (" int8-amodal" if int8_amodal else "") + \
-        (" int8-head" if head_active else "")
+        (" int8-head" if head_active else "") + \
+        (f" tome-base={tome_env}" if base_tm else "")
     print(json.dumps({
         "metric": f"amodal-depth images/sec/chip @ {size}px "
                   f"(base {base_enc} + amodal {amodal_enc}, bf16{quant_tag}, "
