@@ -37,12 +37,14 @@ __all__ = ["amodal_depth_graph", "AmodalDepthPipeline"]
 
 @functools.partial(jax.jit, static_argnames=("raw_cfg", "amodal_cfg", "size",
                                              "attn_impl", "act_sharding",
-                                             "base_token_merge"))
+                                             "base_token_merge",
+                                             "amodal_token_merge"))
 def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
                        raw_cfg: DAV2Config, amodal_cfg: DAV2Config,
                        size: int = 518, attn_impl: str | None = None,
                        act_sharding=None,
-                       base_token_merge: tuple[int, int] | None = None):
+                       base_token_merge: tuple[int, int] | None = None,
+                       amodal_token_merge: tuple[int, int] | None = None):
     """image: [B,h,w,3] float in [0,255]; mask: [B,h,w,1] float (>0 = on).
 
     Returns (base_depth [B,S,S], blended_depth [B,S,S]) in [0,1].
@@ -70,7 +72,8 @@ def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
         params_amodal, amodal_cfg, rgb,
         guide_mask=m * 2.0 - 1.0,
         observation=obs * 2.0 - 1.0,
-        attn_impl=attn_impl, act_sharding=act_sharding)  # [B,S,S,1]
+        attn_impl=attn_impl, act_sharding=act_sharding,
+        token_merge=amodal_token_merge)  # [B,S,S,1]
 
     blended = median_filter_blend(pred, obs, m)
     return base_depth, blended[..., 0]

@@ -107,12 +107,15 @@ def main():
     # (ROADMAP) — never default.
     tome_env = os.environ.get("AMODAL_TOME_BASE", "")
     base_tm = tuple(int(v) for v in tome_env.split(",")) if tome_env else None
+    tome_am_env = os.environ.get("AMODAL_TOME_AMODAL", "")
+    amodal_tm = (tuple(int(v) for v in tome_am_env.split(","))
+                 if tome_am_env else None)
 
     def run():
         base, blended = amodal_depth_graph(
             p_raw, p_amodal, image, mask,
             raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=size,
-            base_token_merge=base_tm)
+            base_token_merge=base_tm, amodal_token_merge=amodal_tm)
         return blended
 
     def sync(x):
@@ -139,7 +142,8 @@ def main():
     def run1():
         return amodal_depth_graph(p_raw, p_amodal, img1, mask1,
                                   raw_cfg=raw_cfg, amodal_cfg=amodal_cfg,
-                                  size=size, base_token_merge=base_tm)[1]
+                                  size=size, base_token_merge=base_tm,
+                                  amodal_token_merge=amodal_tm)[1]
 
     sync(run1())
     lat = []
@@ -156,7 +160,8 @@ def main():
     quant_tag = (" int8-base" if int8_base else "") + \
         (" int8-amodal" if int8_amodal else "") + \
         (" int8-head" if head_active else "") + \
-        (f" tome-base={tome_env}" if base_tm else "")
+        (f" tome-base={tome_env}" if base_tm else "") + \
+        (f" tome-amodal={tome_am_env}" if amodal_tm else "")
     print(json.dumps({
         "metric": f"amodal-depth images/sec/chip @ {size}px "
                   f"(base {base_enc} + amodal {amodal_enc}, bf16{quant_tag}, "
