@@ -140,3 +140,20 @@ def test_vit_block_matches_torch_composition(rng):
     xt = xt + h * torch.from_numpy(np.asarray(p["ls2"]["gamma"]))
 
     np.testing.assert_allclose(ours, xt.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_mha_mixed_dtype_normalized(rng):
+    """q=f32 with k/v=bf16 fails Mosaic on real TPU; mha now normalizes
+    k/v to q's dtype — result must equal the uniform-dtype call."""
+    from amodal_depth_anything_tpu.ops.flash_attention import mha
+
+    q = jnp.asarray(rng.standard_normal((1, 2, 64, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 64, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 64, 16)), jnp.float32)
+    uniform = mha(q, k, v, interpret=True)
+    mixed = mha(q, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                interpret=True)
+    ref = mha(q, k.astype(jnp.bfloat16).astype(jnp.float32),
+              v.astype(jnp.bfloat16).astype(jnp.float32), interpret=True)
+    np.testing.assert_array_equal(np.asarray(mixed), np.asarray(ref))
+    assert mixed.dtype == uniform.dtype == jnp.float32

@@ -120,3 +120,28 @@ def test_trunk_pipeline_integration_matches_sequential(rng):
                             pipeline_microbatches=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_trunk_pipeline_remat_grads_match(rng):
+    """pipeline_mesh honors remat: gradients with remat=True under the
+    pipelined trunk equal the non-remat pipelined gradients."""
+    from amodal_depth_anything_tpu.models.dinov2 import (
+        ViTConfig, dinov2_intermediate_layers, init_dinov2)
+
+    cfg = ViTConfig.preset("vitt")
+    params = {"backbone": init_dinov2(jax.random.PRNGKey(0), cfg)}
+    x = jnp.asarray(rng.standard_normal((4, 56, 56, 3)), jnp.float32)
+    mesh = make_mesh(MeshConfig(data=2, model=1, pipe=4))
+
+    def loss(p, remat):
+        feats = dinov2_intermediate_layers(
+            p["backbone"], cfg, x, None, (3,), attn_impl="xla",
+            remat=remat, pipeline_mesh=mesh, pipeline_microbatches=2)
+        return jnp.sum(feats[0][0] ** 2)
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
