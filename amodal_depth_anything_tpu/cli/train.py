@@ -96,6 +96,27 @@ def trainer_config_from_cfg(cfg, accumulation_steps: int):
     )
 
 
+def trainer_kwargs_from_cfg(cfg) -> dict:
+    """Trainer-class-specific kwargs from the config tree."""
+    extra = {}
+    name = cfg.trainer.name
+    if name == "AmodalSynthDriveTrainer" and \
+            cfg.trainer.get("w_occ") is not None:
+        extra["w_occ"] = float(cfg.trainer.w_occ)
+    if name == "DepthFMTrainer":
+        # DDPM finetune settings (reference reads the diffusers scheduler
+        # dir, `depthfm_trainer.py:93-105`; ours are explicit keys)
+        for key in ("prediction_type", "num_train_timesteps",
+                    "beta_start", "beta_end"):
+            val = cfg.trainer.get(key)
+            if val is not None:
+                extra[key] = val
+        mrn = cfg.get("multi_res_noise")
+        if mrn is not None:
+            extra["multi_res_noise"] = mrn.to_dict()
+    return extra
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     t_start = time.time()
@@ -184,10 +205,11 @@ def main(argv=None) -> None:
     model = get_model(cfg.model.name, **cfg.model.kwargs.to_dict())
     tcfg = trainer_config_from_cfg(cfg, accumulation_steps)
     trainer_cls = get_trainer_cls(cfg.trainer.name)
+    extra = trainer_kwargs_from_cfg(cfg)
     trainer = trainer_cls(tcfg, model, train_loader, val_loaders, vis_loaders,
                           mesh=mesh, out_dir_ckpt=out_ckpt,
                           out_dir_eval=out_eval, out_dir_vis=out_vis,
-                          seed=seed)
+                          seed=seed, **extra)
     if args.resume_run:
         trainer.load_checkpoint(args.resume_run, resume_training=True)
     trainer.train(t_end=t_end)

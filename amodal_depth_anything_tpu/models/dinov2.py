@@ -280,6 +280,9 @@ def dinov2_intermediate_layers(
         if act_sharding is not None:
             raise ValueError(
                 "pipeline_mesh and act_sharding are mutually exclusive")
+        if token_merge is not None:
+            raise ValueError(
+                "pipeline_mesh and token_merge are mutually exclusive")
         from ..parallel.pipeline import pipeline_vit_blocks
 
         def block_fn(p, t):

@@ -5,9 +5,10 @@
 // prefetch pool decodes in parallel on real cores.
 //
 // Decodes are RAW: no gamma/linearization (16-bit depth PNGs must keep
-// their exact stored values), palette expanded to RGB, 16-bit samples
-// byte-swapped to host little-endian. Parity with PIL is pinned by
-// tests/test_native.py.
+// their exact stored values), 16-bit samples byte-swapped to host
+// little-endian. Palette / sub-8-bit / tRNS PNGs are rejected at probe
+// time (PIL's np.asarray semantics differ for those) so the loader
+// falls back to PIL. Parity with PIL is pinned by tests/test_native.py.
 //
 // Build: g++ -O2 -shared -fPIC imagecodec.cpp -lpng -ljpeg -o libimagecodec.so
 
@@ -38,9 +39,13 @@ static void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
   r->pos += n;
 }
 
-// Parses the header and applies the canonical transforms (palette->RGB,
-// <8bit gray expand, tRNS->alpha, 16-bit swap). Returns 0 on success.
-// channels: 1/2/3/4; bit_depth: 8 or 16 after expansion.
+// Parses the header. Returns 0 on success; 4 for color types whose PIL
+// decode differs from the libpng canonical transforms (palette PNGs —
+// PIL returns the [H,W] index map, not expanded RGB; sub-8-bit gray —
+// PIL mode-1 yields bool; tRNS chunks — PIL does not synthesize an alpha
+// channel from them). Rejecting those makes _read_image fall back to PIL
+// so shapes/dtypes never depend on whether the .so built.
+// channels: 1/2/3/4; bit_depth: 8 or 16.
 static int png_setup(png_structp png, png_infop info, MemReader* reader,
                      int* h, int* w, int* channels, int* bit_depth) {
   png_set_read_fn(png, reader, png_mem_read);
@@ -51,10 +56,9 @@ static int png_setup(png_structp png, png_infop info, MemReader* reader,
   png_get_IHDR(png, info, &width, &height, &depth, &color_type,
                nullptr, nullptr, nullptr);
 
-  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
-  if (color_type == PNG_COLOR_TYPE_GRAY && depth < 8)
-    png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) return 4;
+  if (depth < 8) return 4;
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) return 4;
   if (depth == 16) png_set_swap(png);  // PNG is big-endian; host is LE
   png_set_interlace_handling(png);     // Adam7: de-interlace across passes
 
@@ -82,9 +86,9 @@ int png_probe(const uint8_t* buf, size_t n, int* h, int* w, int* channels,
     return 3;
   }
   MemReader reader{buf, n, 0};
-  png_setup(png, info, &reader, h, w, channels, bit_depth);
+  int rc = png_setup(png, info, &reader, h, w, channels, bit_depth);
   png_destroy_read_struct(&png, &info, nullptr);
-  return 0;
+  return rc;
 }
 
 // out must hold h*w*channels*(bit_depth/8) bytes (from png_probe).
@@ -103,7 +107,10 @@ int png_decode(const uint8_t* buf, size_t n, uint8_t* out) {
   }
   MemReader reader{buf, n, 0};
   int h, w, channels, bit_depth;
-  png_setup(png, info, &reader, &h, &w, &channels, &bit_depth);
+  if (int rc = png_setup(png, info, &reader, &h, &w, &channels, &bit_depth)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return rc;
+  }
 
   // png_read_image (not per-row reads) so interlaced files accumulate
   // correctly over their passes. `rows` leaks h*8 bytes if libpng

@@ -31,12 +31,15 @@ def multi_head_attention(q, k, v, *, impl: str | None = None,
     `kv_len`: true length for model-level pre-padded sequences (see
     `flash_attention.mha`); keys beyond it are masked on every impl.
     `sm_scale`: softmax scale override (default 1/sqrt(D))."""
+    defaulted = impl is None
     impl = impl or default_attn_impl()
-    if impl == "pallas" and k.shape[2] <= 128:
+    if defaulted and impl == "pallas" and k.shape[2] <= 128:
         # tiny-KV cross attention (e.g. 77 text tokens conditioning the
         # LDM UNet): scores are [N, <=128] — flash blocking buys nothing,
         # plain XLA fuses it better, and Mosaic chokes on some
-        # (large-d_pad, tiny-kv) tilings
+        # (large-d_pad, tiny-kv) tilings. Only the DEFAULTED choice is
+        # rerouted: an explicit impl="pallas" request always runs the
+        # kernel so small-shape pallas-vs-xla parity tests exercise it.
         impl = "xla"
     if impl == "pallas":
         return mha(q, k, v, kv_len=kv_len, sm_scale=sm_scale)

@@ -13,7 +13,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ddim_sample", "linear_alphas_cumprod"]
+__all__ = ["ddim_sample", "linear_alphas_cumprod", "ddpm_add_noise",
+           "ddpm_velocity"]
 
 
 def linear_alphas_cumprod(n_timesteps: int = 1000, beta_start: float = 0.00085,
@@ -22,6 +23,27 @@ def linear_alphas_cumprod(n_timesteps: int = 1000, beta_start: float = 0.00085,
     betas = jnp.linspace(beta_start ** 0.5, beta_end ** 0.5, n_timesteps,
                          dtype=jnp.float32) ** 2
     return jnp.cumprod(1.0 - betas)
+
+
+def _gather_ab(alphas_cumprod, t, like):
+    ab = alphas_cumprod[t].astype(like.dtype)
+    return ab.reshape(ab.shape + (1,) * (like.ndim - ab.ndim))
+
+
+def ddpm_add_noise(alphas_cumprod, x0, noise, t):
+    """DDPM forward process q(x_t | x_0) with per-sample integer timesteps
+    (diffusers `DDPMScheduler.add_noise`, the noising the reference's
+    `DepthFMTrainer` applies at `src/trainer/depthfm_trainer.py:268-270`):
+    sqrt(ab_t)*x0 + sqrt(1-ab_t)*eps. t: [B] int32; x0/noise [B,...]."""
+    ab = _gather_ab(alphas_cumprod, t, x0)
+    return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
+
+
+def ddpm_velocity(alphas_cumprod, x0, noise, t):
+    """v-prediction target (diffusers `get_velocity`, reference
+    `depthfm_trainer.py:296-298`): sqrt(ab_t)*eps - sqrt(1-ab_t)*x0."""
+    ab = _gather_ab(alphas_cumprod, t, x0)
+    return jnp.sqrt(ab) * noise - jnp.sqrt(1.0 - ab) * x0
 
 
 def ddim_sample(model_fn, rng, shape, *, num_steps: int = 50,

@@ -55,16 +55,47 @@ def _load_png(path: str, size: int) -> np.ndarray:
 def main(argv=None):
     args = _parser().parse_args(argv)
 
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
     from ..utils.alignment import align_depth_least_square_np
     from ..utils.logging_util import eval_dic_to_text
-    from ..utils.metrics import METRIC_FNS, MetricTracker
+    from ..utils.metrics import MetricTracker, compute_metrics_per_sample
+    from ..utils.stats import sample_difficulty
 
     names = list(args.metrics)
     banks = {k: MetricTracker(*names)
              for k in ("align_easy", "align_mid", "align_diff",
                        "align_overall")}
+    # score in fixed-size chunks: one device program per chunk instead of
+    # len(metrics) dispatches per sample (a real cost on tunneled TPUs)
+    metrics_jit = jax.jit(functools.partial(compute_metrics_per_sample,
+                                            names=names))
+    chunk_aligned, chunk_gt, chunk_inv, chunk_bucket = [], [], [], []
 
-    ids = sorted(f.split("_")[0] for f in os.listdir(args.pred_dir)
+    def flush():
+        if not chunk_aligned:
+            return
+        vals = np.asarray(metrics_jit(
+            jnp.asarray(np.stack(chunk_aligned) + 1e-5),
+            jnp.asarray(np.stack(chunk_gt) + 1e-5),
+            jnp.asarray(np.stack(chunk_inv))))
+        for bucket, row in zip(chunk_bucket, vals):
+            for name, val in zip(names, row):
+                if np.isnan(val):
+                    continue  # reference skips NaN samples (:295-297)
+                banks[bucket].update(name, float(val))
+                banks["align_overall"].update(name, float(val))
+        chunk_aligned.clear()
+        chunk_gt.clear()
+        chunk_inv.clear()
+        chunk_bucket.clear()
+
+    # strip the known suffix (NOT split("_")[0]: ids like scene_0001 carry
+    # underscores and would truncate/collide)
+    ids = sorted(f[:-len("_depth.png")] for f in os.listdir(args.pred_dir)
                  if f.endswith("_depth.png"))
     if not ids:
         raise SystemExit(f"no *_depth.png in {args.pred_dir}")
@@ -86,17 +117,15 @@ def main(argv=None):
         aligned, _, _ = align_depth_least_square_np(obs, pred, visible)
         invisible = whole & ~visible
 
-        from ..utils.stats import sample_difficulty
         vis_bucket, _, _, _ = sample_difficulty(whole, visible)
-        bucket = {"easy": "align_easy", "mid": "align_mid",
-                  "hard": "align_diff"}[vis_bucket]
-        for name in names:
-            val = float(METRIC_FNS[name](aligned + 1e-5, gt + 1e-5,
-                                         invisible))
-            if np.isnan(val):
-                continue  # reference skips NaN samples (:295-297)
-            banks[bucket].update(name, val)
-            banks["align_overall"].update(name, val)
+        chunk_aligned.append(aligned)
+        chunk_gt.append(gt)
+        chunk_inv.append(invisible)
+        chunk_bucket.append({"easy": "align_easy", "mid": "align_mid",
+                             "hard": "align_diff"}[vis_bucket])
+        if len(chunk_aligned) >= 16:
+            flush()
+    flush()
 
     for key, bank in banks.items():
         text = eval_dic_to_text(val_metrics=bank.result(),

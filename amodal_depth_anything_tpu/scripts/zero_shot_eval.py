@@ -17,6 +17,7 @@ mask, and report the 10-metric suite.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 
 
@@ -56,7 +57,8 @@ def main(argv=None):
     from ..models import get_model
     from ..utils.alignment import align_depth_least_square_np
     from ..utils.logging_util import eval_dic_to_text
-    from ..utils.metrics import METRIC_FNS, MetricTracker
+    from ..utils.metrics import (METRIC_FNS, MetricTracker,
+                                 compute_metrics_per_sample)
 
     # build the dataset first: a typo'd name/split should fail fast,
     # before the (slow) checkpoint load
@@ -78,17 +80,23 @@ def main(argv=None):
         return model.apply(params, (rgb_int / 255.0).astype(dtype)
                            ).astype(jnp.float32)
 
-    tracker = MetricTracker(*METRIC_FNS)
+    names = list(METRIC_FNS)
+    metrics_jit = jax.jit(functools.partial(compute_metrics_per_sample,
+                                            names=names))
+    tracker = MetricTracker(*names)
     n_done = 0
     for batch in loader:
         rgb = np.stack([resize_nearest_exact_np(r, (size, size))
                         for r in batch["rgb_int"]])
         pred = np.asarray(forward(params, jnp.asarray(rgb)))
+        # host per-sample alignment (lstsq), then ONE device program
+        # scores every kept sample of the batch ([K, n_metrics])
+        keep_aligned, keep_gt, keep_valid = [], [], []
         for b in range(pred.shape[0]):
             mask_ok = batch.get("__sample_mask__")
             if mask_ok is not None and not mask_ok[b]:
                 continue
-            if args.limit and n_done >= args.limit:
+            if args.limit and n_done + len(keep_aligned) >= args.limit:
                 break
             gt = batch["depth_raw_linear"][b][..., 0]
             valid = batch["valid_mask_raw"][b][..., 0]
@@ -106,14 +114,19 @@ def main(argv=None):
             else:
                 aligned, _, _ = align_depth_least_square_np(
                     gt, pr, valid, return_scale_shift=True)
-            p_j = jnp.asarray(aligned[None] + 1e-5)
-            g_j = jnp.asarray(gt[None] + 1e-5)
-            m_j = jnp.asarray(valid[None])
-            for name, fn in METRIC_FNS.items():
-                val = float(fn(p_j, g_j, m_j))
-                if np.isfinite(val):
-                    tracker.update(name, val)
-            n_done += 1
+            keep_aligned.append(aligned)
+            keep_gt.append(gt)
+            keep_valid.append(valid)
+        if keep_aligned:
+            vals = np.asarray(metrics_jit(
+                jnp.asarray(np.stack(keep_aligned) + 1e-5),
+                jnp.asarray(np.stack(keep_gt) + 1e-5),
+                jnp.asarray(np.stack(keep_valid))))
+            for row in vals:
+                for name, val in zip(names, row):
+                    if np.isfinite(val):
+                        tracker.update(name, float(val))
+            n_done += len(keep_aligned)
         if args.limit and n_done >= args.limit:
             break
 

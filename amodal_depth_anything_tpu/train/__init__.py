@@ -1,7 +1,7 @@
 """Trainer registry (reference `src/trainer/__init__.py:21-22`)."""
 
 from .amodalsynthdrive_trainer import AmodalSynthDriveTrainer
-from .depthfm_trainer import DepthFMAmodalTrainer
+from .depthfm_trainer import DepthFMAmodalTrainer, DepthFMTrainer
 from .invisible_stitch_trainer import InvisibleStitchTrainer
 from .state import TrainState, create_train_state, make_optimizer
 from .trainer import DiscriminativeTrainer, TrainerConfig
@@ -11,7 +11,7 @@ TRAINER_REGISTRY = {
     "InvisibleStitchTrainer": InvisibleStitchTrainer,
     "AmodalSynthDriveTrainer": AmodalSynthDriveTrainer,
     "DepthFMAmodalTrainer": DepthFMAmodalTrainer,
-    "DepthFMTrainer": DepthFMAmodalTrainer,
+    "DepthFMTrainer": DepthFMTrainer,
 }
 
 

@@ -49,7 +49,6 @@ from ..parallel import make_mesh, shard_batch, shard_params
 from ..utils.alignment import align_depth_least_square_np, fit_scale_shift
 from ..utils.loss import get_loss, l1_loss
 from ..utils.metrics import METRIC_FNS, MetricTracker
-from ..utils.seeding import generate_seed_sequence
 from .state import TrainState, create_train_state, make_optimizer
 
 __all__ = ["DiscriminativeTrainer", "TrainerConfig"]
@@ -176,7 +175,6 @@ class DiscriminativeTrainer:
         self.n_batch_in_epoch = 0
         self.effective_iter = 0
         self.in_evaluation = False
-        self.global_seed_sequence: list[int] = []
 
         from ..utils.profiling import StepTimer
         self.step_timer = StepTimer()
@@ -185,6 +183,7 @@ class DiscriminativeTrainer:
 
         self._train_step = self._build_train_step()
         self._eval_forward = self._build_eval_forward()
+        self._batch_metrics = self._build_batch_metrics()
 
     # ------------------------------------------------------------ jit builds
 
@@ -280,13 +279,27 @@ class DiscriminativeTrainer:
 
         return eval_forward
 
-    # ---------------------------------------------------------------- train
+    def _build_batch_metrics(self):
+        """One jitted program computing the whole metric suite for BOTH
+        banks of a batch: [B, n_metrics] raw + aligned. Replaces the
+        per-sample per-metric dispatch loop (~20 device round-trips per
+        sample — hours of pure dispatch on a tunneled TPU for the
+        3,999-sample protocol split); now it is one dispatch per batch."""
+        from ..utils.metrics import compute_metrics_per_sample
+        names = tuple(self.cfg.eval_metrics)
 
-    def _get_next_seed(self) -> int:
-        if not self.global_seed_sequence:
-            self.global_seed_sequence = generate_seed_sequence(
-                self.cfg.init_seed, 4096)
-        return self.global_seed_sequence.pop()
+        @jax.jit
+        def batch_metrics(pred, aligned, gt, mask):
+            # +1e-5 shift matches the reference's epsilon on both operands
+            m_raw = compute_metrics_per_sample(pred + 1e-5, gt + 1e-5,
+                                               mask, names)
+            m_al = compute_metrics_per_sample(aligned + 1e-5, gt + 1e-5,
+                                              mask, names)
+            return m_raw, m_al
+
+        return batch_metrics
+
+    # ---------------------------------------------------------------- train
 
     def _device_batch(self, batch: dict) -> dict:
         tensors = {k: v for k, v in batch.items()
@@ -416,14 +429,29 @@ class DiscriminativeTrainer:
                                 eval: bool = True) -> dict:
         for bank in self.metric_banks.values():
             bank.reset()
-        # seed sequence kept for protocol parity (reference :489-491)
-        generate_seed_sequence(self.cfg.val_init_seed, len(data_loader))
+        # The reference re-seeds torch's global RNG per validation batch
+        # (:489-491) because its augmentations draw from global state. All
+        # our randomness is index-seeded in the datasets/loader
+        # ((seed, epoch, index), data/base_depth_dataset.py), so replay is
+        # deterministic by construction — pinned by
+        # tests/test_trainer.py::test_exact_resume_bitwise.
 
+        names = list(self.cfg.eval_metrics)
         for batch in data_loader:
             dev_batch = self._device_batch(batch)
-            pred, aligned = self._eval_forward(self.state.params, dev_batch)
-            pred = np.asarray(pred)
-            aligned = np.asarray(aligned)
+            pred_d, aligned_d = self._eval_forward(self.state.params,
+                                                   dev_batch)
+            if eval:
+                # whole metric suite for the batch in ONE device program
+                # (pred/aligned stay on device; [B, n_metrics] comes back)
+                invisible = (batch["invisible_mask"] > 0) & \
+                    (batch[self.cfg.gt_mask_type] > 0)
+                m_raw, m_al = self._batch_metrics(
+                    pred_d[..., 0], aligned_d[..., 0],
+                    jnp.asarray(batch[self.cfg.gt_depth_type][..., 0]),
+                    jnp.asarray(invisible[..., 0]))
+                m_raw, m_al = np.asarray(m_raw), np.asarray(m_al)
+            pred = np.asarray(pred_d)
 
             for b in range(pred.shape[0]):
                 mask_ok = batch.get("__sample_mask__")
@@ -431,9 +459,6 @@ class DiscriminativeTrainer:
                     continue
                 guide = batch["guide"][b] > 0
                 visible = batch["visible_mask"][b] > 0
-                valid = batch[self.cfg.gt_mask_type][b] > 0
-                invisible = (batch["invisible_mask"][b] > 0) & valid
-                gt = batch[self.cfg.gt_depth_type][b]
 
                 obj_px = float(guide.sum())
                 vis_ratio = float(visible.sum()) / max(obj_px, 1.0)
@@ -441,10 +466,9 @@ class DiscriminativeTrainer:
                     "mid" if vis_ratio > 0.5 else "diff"
 
                 if eval:
-                    self._update_metrics(pred[b], gt, invisible,
-                                         ("overall", bucket))
-                    self._update_metrics(aligned[b], gt, invisible,
-                                         ("align_overall", f"align_{bucket}"))
+                    self._track_sample(m_raw[b], names, ("overall", bucket))
+                    self._track_sample(m_al[b], names,
+                                       ("align_overall", f"align_{bucket}"))
 
                 if save_to_dir is not None:
                     self._save_prediction(save_to_dir, batch, b, pred[b])
@@ -452,16 +476,12 @@ class DiscriminativeTrainer:
         out = {k: bank.result() for k, bank in self.metric_banks.items()}
         return out
 
-    def _update_metrics(self, pred, gt, mask, bank_keys) -> None:
-        pred_j = jnp.asarray(pred[None, ..., 0] + 1e-5)
-        gt_j = jnp.asarray(gt[None, ..., 0] + 1e-5)
-        mask_j = jnp.asarray(mask[None, ..., 0])
-        for name in self.cfg.eval_metrics:
-            val = float(METRIC_FNS[name](pred_j, gt_j, mask_j))
+    def _track_sample(self, values, names, bank_keys) -> None:
+        for name, val in zip(names, values):
             if not np.isfinite(val):
                 continue  # skip-nan (reference :600-603)
             for key in bank_keys:
-                self.metric_banks[key].update(name, val)
+                self.metric_banks[key].update(name, float(val))
 
     def _save_prediction(self, save_to_dir, batch, b, pred) -> None:
         os.makedirs(save_to_dir, exist_ok=True)
@@ -524,7 +544,6 @@ class DiscriminativeTrainer:
                 "effective_iter": self.effective_iter,
                 "best_metric": self.best_metric,
                 "in_evaluation": self.in_evaluation,
-                "seed_sequence_remaining": len(self.global_seed_sequence),
             },
         }
         ckptr = ocp.PyTreeCheckpointer()
@@ -543,7 +562,6 @@ class DiscriminativeTrainer:
             "meta": {
                 "epoch": 0, "n_batch_in_epoch": 0, "effective_iter": 0,
                 "best_metric": 0.0, "in_evaluation": False,
-                "seed_sequence_remaining": 0,
             },
         }
         tree = ckptr.restore(os.path.abspath(path), item=abstract)
@@ -557,8 +575,5 @@ class DiscriminativeTrainer:
             self.effective_iter = int(meta["effective_iter"])
             self.best_metric = float(meta["best_metric"])
             self.in_evaluation = bool(meta["in_evaluation"])
-            seq = generate_seed_sequence(self.cfg.init_seed, 4096)
-            remaining = int(meta["seed_sequence_remaining"])
-            self.global_seed_sequence = seq[:remaining] if remaining else []
         LOGGER.info("restored checkpoint %s (iter %d)", path,
                     self.effective_iter)

@@ -93,13 +93,30 @@ def main():
                                                          hstats)
             return p
 
+        obs = jnp.zeros_like(mask)
+        if int8_amodal and int8_calib:
+            # Serving-time observation: the amodal trunk sees the base
+            # model's min-max-normalized depth scaled to [-1,1]
+            # (amodal_depth_graph) — calibrate with that, not zeros, or
+            # the recorded qkv/proj/fc amax under-cover the real range
+            # and activations clip (pipeline.quantize_int8 does the same).
+            # Computed BEFORE base quantization, like the pipeline.
+            from amodal_depth_anything_tpu.models.amodal_dav2 import \
+                apply_raw_dav2
+            from amodal_depth_anything_tpu.ops.resize import resize2d
+            base_d = jax.jit(
+                lambda p_, x_: apply_raw_dav2(p_, raw_cfg, x_)
+            )(p_raw, resize2d(rgb01, size=(size, size), method="bilinear"))
+            lo = jnp.min(base_d, axis=(-1, -2), keepdims=True)
+            hi = jnp.max(base_d, axis=(-1, -2), keepdims=True)
+            obs = ((base_d - lo) / jnp.maximum(hi - lo, 1e-8))[..., None]
         if int8_base:
             p_raw = quantize(p_raw, raw_cfg)
         if int8_amodal:
             p_amodal = quantize(
                 p_amodal, amodal_cfg,
                 guide_mask=mask * 2.0 - 1.0,
-                observation=jnp.zeros_like(mask))
+                observation=obs * 2.0 - 1.0)
 
     # Opt-in ToMe token merge for the frozen base trunk: "layer,r"
     # (e.g. AMODAL_TOME_BASE="9,2560" merges 2560 of 5330 tokens after

@@ -161,6 +161,55 @@ def test_native_decodes_interlaced_png(rng):
     np.testing.assert_array_equal(native, gray)
 
 
+def test_native_rejects_palette_sub8bit_trns_png(rng):
+    """Palette, sub-8-bit, and tRNS PNGs decode differently under PIL's
+    np.asarray (index map / bool / no synthesized alpha) than under the
+    libpng canonical transforms -> native path must refuse them so every
+    environment (with or without the .so) sees identical shapes/dtypes."""
+    import io
+    import struct
+    import zlib
+
+    import pytest
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.native import imagecodec
+
+    if not imagecodec.available():
+        pytest.skip("native imagecodec unavailable")
+
+    # palette PNG (PIL mode P -> np.asarray returns the [H,W] index map)
+    im = Image.fromarray((rng.random((8, 8, 3)) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    im.convert("P", palette=Image.ADAPTIVE).save(buf, format="PNG")
+    assert imagecodec.decode(buf.getvalue()) is None
+
+    # 1-bit PNG (PIL mode 1 -> bool array)
+    buf = io.BytesIO()
+    im.convert("1").save(buf, format="PNG")
+    assert imagecodec.decode(buf.getvalue()) is None
+
+    # grayscale PNG with a tRNS chunk (PIL keeps [H,W]; libpng would
+    # synthesize an alpha channel)
+    gray = (rng.random((8, 8)) * 254).astype(np.uint8)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload +
+                struct.pack(">I", zlib.crc32(tag + payload)))
+
+    raw = bytearray()
+    for row in gray:
+        raw.append(0)
+        raw.extend(row.tobytes())
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"tRNS", struct.pack(">H", 255)) +
+            chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    pil = np.asarray(Image.open(io.BytesIO(data)))
+    assert pil.shape == (8, 8)  # PIL: no alpha synthesis
+    assert imagecodec.decode(data) is None
+
+
 def test_native_rejects_cmyk_jpeg(rng):
     """4-component (CMYK) JPEGs need PIL's color handling -> native path
     must refuse them so the fallback produces correct RGB."""

@@ -88,6 +88,81 @@ def test_validation_and_checkpoint_roundtrip(sam_tree, tmp_path):
         np.asarray(trainer.state.params["backbone"]["cls_token"]))
 
 
+def test_eval_metrics_one_dispatch_per_batch(sam_tree, monkeypatch):
+    """Validation must issue O(batches) device programs, not
+    O(samples x metrics): the python metric fns may run only while
+    TRACING the batched kernel (once per compile), never per sample."""
+    from amodal_depth_anything_tpu.utils import metrics as M
+
+    calls = {"n": 0}
+
+    def wrap(fn):
+        def counted(*a, **k):
+            calls["n"] += 1
+            return fn(*a, **k)
+        return counted
+
+    for name, fn in list(M.METRIC_FNS.items()):
+        monkeypatch.setitem(M.METRIC_FNS, name, wrap(fn))
+
+    root, list_path = sam_tree
+    train_loader, val_loader = _loaders(root, list_path)  # 16 samples, b=2
+    model = get_model("AmodalDAv2", encoder="vitt")
+    mesh = make_mesh(MeshConfig(data=2, model=1), devices=jax.devices()[:2])
+    trainer = DiscriminativeTrainer(
+        _cfg(eval_metrics=tuple(M.METRIC_FNS)), model, train_loader,
+        val_loaders=[val_loader], mesh=mesh)
+    calls["n"] = 0
+    res = trainer.validate_single_dataset(val_loader, eval=True)
+    assert np.isfinite(res["align_overall"]["abs_relative_difference"])
+    n_names = len(M.METRIC_FNS)
+    # old path: 8 batches x 2 samples x 2 banks x 10 metrics = 320 calls.
+    # batched path: tracing only — 2 banks x 10 metrics x (<=2 trace
+    # passes for jit+vmap). Anything per-sample would blow this bound.
+    assert calls["n"] <= 6 * n_names, calls["n"]
+
+
+def test_exact_resume_bitwise(sam_tree, tmp_path):
+    """A restored run must reproduce the interrupted run's losses
+    BIT-FOR-BIT: all randomness is index-seeded ((seed, epoch, index)) in
+    the data layer, the checkpoint restores params/opt-state exactly, and
+    the jitted step is deterministic. (The reference re-seeds global RNG
+    per step for the same guarantee but its --resume_run is stubbed.)"""
+    root, list_path = sam_tree
+    model = get_model("AmodalDAv2", encoder="vitt")
+    mesh = make_mesh(MeshConfig(data=2, model=1), devices=jax.devices()[:2])
+
+    def run(n_iter, resume_from=None):
+        train_loader, _ = _loaders(root, list_path)
+        trainer = DiscriminativeTrainer(
+            _cfg(max_iter=n_iter, save_period=2), model, train_loader,
+            mesh=mesh, out_dir_ckpt=str(tmp_path / "ckpt"))
+        if resume_from:
+            trainer.load_checkpoint(resume_from)
+        losses = []
+        orig = trainer._train_step
+
+        def recording_step(state, batch):
+            state, loss = orig(state, batch)
+            losses.append(float(loss))
+            return state, loss
+
+        trainer._train_step = recording_step
+        trainer.train()
+        return losses, trainer
+
+    losses_full, t1 = run(5)
+    assert len(losses_full) == 5
+    losses_resumed, t2 = run(5, resume_from=str(tmp_path / "ckpt" /
+                                                "iter_000002"))
+    assert t2.effective_iter == 5
+    np.testing.assert_array_equal(np.float64(losses_resumed),
+                                  np.float64(losses_full[2:]))
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.params["backbone"]["cls_token"]),
+        np.asarray(t1.state.params["backbone"]["cls_token"]))
+
+
 def test_train_on_8_device_mesh(sam_tree):
     root, list_path = sam_tree
     train_loader, _ = _loaders(root, list_path, batch=4)

@@ -80,6 +80,36 @@ def test_metrics_match_torch_reference_semantics(rng):
     assert abs(ours - t_silog_rmse()) < 1e-3
 
 
+def test_per_sample_metrics_match_singleton_calls(rng):
+    """compute_metrics_per_sample's [B, n] rows must be bit-identical to
+    calling each metric on that sample alone (what the round-1 eval loop
+    did with ~20 dispatches per sample)."""
+    pred = rng.random((4, 18, 18), dtype=np.float32) + 0.2
+    gt = rng.random((4, 18, 18), dtype=np.float32) + 0.2
+    mask = rng.random((4, 18, 18)) > 0.3
+    mask[3] = False  # empty-mask sample exercises the n>=1 clamps
+
+    names = list(metrics.METRIC_FNS)
+    got = np.asarray(metrics.compute_metrics_per_sample(
+        jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask), names))
+    assert got.shape == (4, len(names))
+    for b in range(4):
+        for j, n in enumerate(names):
+            want = float(metrics.METRIC_FNS[n](
+                jnp.asarray(pred[b][None]), jnp.asarray(gt[b][None]),
+                jnp.asarray(mask[b][None])))
+            np.testing.assert_allclose(got[b, j], want, rtol=1e-6,
+                                       err_msg=f"{n} sample {b}")
+
+    # maskless variant
+    got2 = np.asarray(metrics.compute_metrics_per_sample(
+        jnp.asarray(pred), jnp.asarray(gt), None, names))
+    want2 = float(metrics.METRIC_FNS["rmse_linear"](
+        jnp.asarray(pred[1][None]), jnp.asarray(gt[1][None])))
+    np.testing.assert_allclose(got2[1, names.index("rmse_linear")], want2,
+                               rtol=1e-6)
+
+
 def test_alignment_closed_form_matches_lstsq(rng):
     pred = rng.random((1, 32, 32)).astype(np.float32)
     gt = (pred * 2.5 + 0.7 + rng.normal(0, 0.05, pred.shape)).astype(np.float32)
