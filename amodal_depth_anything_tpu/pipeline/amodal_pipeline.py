@@ -239,6 +239,16 @@ class AmodalDepthPipeline:
             base, blended = base[0], blended[0]
         return base, blended
 
+    def infer_raw_depth(self, image_bgr: np.ndarray,
+                        input_size: int | None = None) -> np.ndarray:
+        """Arbitrary-aspect raw base-depth inference through the
+        keep-aspect multiple-of-14 path (reference raw `dpt.py:186-222`):
+        returns [h, w] relative depth at the input's own resolution."""
+        from .raw_infer import infer_image
+        return infer_image(self.params_raw, self.raw_cfg, image_bgr,
+                           input_size or self.size,
+                           attn_impl=self.attn_impl, dtype=self.dtype)
+
     def infer_single_image(self, input_image_path: str, input_mask_path: str,
                            output_path: str):
         """Reference-compatible file-in/file-out inference (infer.py:71-121)."""
