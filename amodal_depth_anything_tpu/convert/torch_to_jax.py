@@ -150,8 +150,22 @@ def infer_dav2_config(sd: dict, *, raw: bool | None = None,
     """Guess encoder size / rawness / guide type from state-dict shapes."""
     prefix = "encoder." if any(k.startswith("encoder.") for k in sd) else ""
     embed_dim = sd[f"{prefix}pretrained.cls_token"].shape[-1]
-    encoder = {64: "vitt", 384: "vits", 768: "vitb", 1024: "vitl",
-               1536: "vitg"}[embed_dim]
+    by_width = {64: "vitt", 384: "vits", 768: "vitb", 1024: "vitl",
+                1536: "vitg"}
+    width_override = None
+    if embed_dim in by_width:
+        encoder = by_width[embed_dim]
+    else:
+        # narrow variant of a named architecture (golden fixtures): pick
+        # the encoder by DEPTH + ffn flavor, carry the width as an
+        # override; heads follow the embed_dim//32 convention.
+        bp = f"{prefix}pretrained.blocks."
+        depth = 1 + max(int(k[len(bp):].split(".")[0]) for k in sd
+                        if k.startswith(bp))
+        swiglu = any(".mlp.w12." in k or ".mlp.w3." in k for k in sd)
+        encoder = {(12, False): "vits", (24, False): "vitl",
+                   (40, True): "vitg", (4, False): "vitt"}[(depth, swiglu)]
+        width_override = embed_dim
     if raw is None:
         raw = not any("patch_embed_guidance" in k for k in sd)
     if not raw and guide_type is None:
@@ -163,7 +177,8 @@ def infer_dav2_config(sd: dict, *, raw: bool | None = None,
         # always uses swiglufused; nothing to adjust.
         pass
     return DAV2Config(encoder=encoder, guide_type=guide_type or "none",
-                      loss_strategy=loss_strategy, raw=raw)
+                      loss_strategy=loss_strategy, raw=raw,
+                      embed_dim=width_override)
 
 
 def convert_dav2(sd: dict, cfg: DAV2Config) -> dict:

@@ -45,11 +45,21 @@ class DAV2Config:
     guide_type: str = "mask+observation"
     loss_strategy: str = "entire_target_object"
     raw: bool = False  # True -> base-depth predictor variant
+    # Width overrides: keep the encoder's depth / ffn / tap indices but
+    # shrink embed_dim/num_heads (golden tests exercise the released
+    # architectures' depth+taps at CPU-affordable width). None = preset.
+    embed_dim: int | None = None
+    num_heads: int | None = None
 
     @property
     def vit(self) -> ViTConfig:
-        return ViTConfig.preset(self.encoder,
-                                "none" if self.raw else self.guide_type)
+        cfg = ViTConfig.preset(self.encoder,
+                               "none" if self.raw else self.guide_type)
+        if self.embed_dim is not None:
+            heads = self.num_heads or max(1, self.embed_dim // 32)
+            cfg = dataclasses.replace(cfg, embed_dim=self.embed_dim,
+                                      num_heads=heads)
+        return cfg
 
     @property
     def dpt(self) -> DPTConfig:

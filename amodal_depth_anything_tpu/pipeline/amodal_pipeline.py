@@ -44,10 +44,18 @@ def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
                        size: int = 518, attn_impl: str | None = None,
                        act_sharding=None,
                        base_token_merge: tuple[int, int] | None = None,
-                       amodal_token_merge: tuple[int, int] | None = None):
+                       amodal_token_merge: tuple[int, int] | None = None,
+                       base_image=None):
     """image: [B,h,w,3] float in [0,255]; mask: [B,h,w,1] float (>0 = on).
 
     Returns (base_depth [B,S,S], blended_depth [B,S,S]) in [0,1].
+
+    `base_image`: optional [B,S,S,3] float in [0,255] — a host-resized
+    input for the base branch. The reference resizes with cv2 on uint8
+    (fixed-point bilinear + rounding, `infer.py:17`); the in-graph f32
+    resize differs by quantization, which a random-weight trunk amplifies
+    past 1e-3. `infer_single_image` passes the cv2-resized image for
+    exact parity; direct batch callers keep the fused in-graph resize.
 
     `act_sharding`: NamedSharding for the trunks' token streams — serving
     scale-out: with TP-sharded params (parallel.param_sharding) the whole
@@ -55,7 +63,10 @@ def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
     latency by the tp degree (the reference can only replicate)."""
     img01 = image / 255.0
     # --- base-depth branch (bilinear resize, reference infer.py:17)
-    base_in = resize2d(img01, size=(size, size), method="bilinear")
+    if base_image is not None:
+        base_in = base_image / 255.0
+    else:
+        base_in = resize2d(img01, size=(size, size), method="bilinear")
     base_depth = apply_raw_dav2(params_raw, raw_cfg, base_in,
                                 attn_impl=attn_impl,
                                 act_sharding=act_sharding,
@@ -218,8 +229,13 @@ class AmodalDepthPipeline:
         return cls(convert_dav2(sd_raw, cfg_raw), cfg_raw,
                    convert_dav2(sd_amodal, cfg_amodal), cfg_amodal, **kw)
 
-    def __call__(self, image: np.ndarray, mask: np.ndarray):
+    def __call__(self, image: np.ndarray, mask: np.ndarray,
+                 base_image: np.ndarray | None = None):
         """image: [H,W,3] or [B,H,W,3] uint8/float; mask: [H,W] / [B,H,W].
+
+        `base_image`: optional pre-resized [.,S,S,3] input for the base
+        branch (see `amodal_depth_graph`; `infer_single_image` passes the
+        cv2-resized uint8 image for reference-exact parity).
 
         Returns (base_depth, blended_depth) as np arrays in [0,1]."""
         img = np.asarray(image, np.float32)
@@ -227,13 +243,17 @@ class AmodalDepthPipeline:
         squeeze = img.ndim == 3
         if squeeze:
             img, msk = img[None], msk[None]
+            if base_image is not None and base_image.ndim == 3:
+                base_image = base_image[None]
         base, blended = amodal_depth_graph(
             self.params_raw, self.params_amodal,
             jnp.asarray(img, self.dtype),
             jnp.asarray(msk[..., None], self.dtype),
             raw_cfg=self.raw_cfg, amodal_cfg=self.amodal_cfg,
             size=self.size, attn_impl=self.attn_impl,
-            act_sharding=self.act_sharding)
+            act_sharding=self.act_sharding,
+            base_image=None if base_image is None else
+            jnp.asarray(np.asarray(base_image, np.float32), self.dtype))
         base, blended = np.asarray(base, np.float32), np.asarray(blended, np.float32)
         if squeeze:
             base, blended = base[0], blended[0]
@@ -264,7 +284,12 @@ class AmodalDepthPipeline:
         if mask.ndim == 3:
             mask = mask[..., 0]
 
-        base, blended = self(image, mask)
+        # cv2 uint8 resize on host for the base branch — exact parity with
+        # the reference's predict_base_depth (infer.py:17 fixed-point
+        # bilinear + uint8 rounding; the in-graph f32 resize differs by
+        # quantization the trunk can amplify past the 1e-3 gate)
+        base_image = cv2.resize(image, (self.size, self.size))
+        base, blended = self(image, mask, base_image=base_image)
 
         mask518 = np.asarray(
             resize_nearest(jnp.asarray(mask[None, :, :, None]),

@@ -48,6 +48,12 @@ def _install_stubs():
     oc.listconfig = stub("omegaconf.listconfig", ListConfig=type("LC", (), {}))
     tv = stub("torchvision")
     tv.transforms = stub("torchvision.transforms", Compose=lambda ts: ts)
+    # image_util.py imports `torchvision.transforms.functional.resize` at
+    # module top; only resize_max_res (not on our golden paths) calls it
+    tv.transforms.functional = stub("torchvision.transforms.functional",
+                                    resize=None)
+    tv.transforms.InterpolationMode = types.SimpleNamespace(
+        NEAREST="nearest", BILINEAR="bilinear", BICUBIC="bicubic")
 
     sys.path.insert(0, REFERENCE)
     import importlib
@@ -235,12 +241,199 @@ def dump_raw_dav2_vits_rect(out_path):
     print(f"raw_dav2_vits_rect: out std {float(out.std()):.5f}")
 
 
+def _narrow_factory(dmod, embed_dim, num_heads, depth):
+    """Factory returning the reference's own DinoVisionTransformer at a
+    narrow width but the NAMED architecture's depth — so the guided/raw
+    wrappers' hardcoded tap indices and ffn selection run unmodified at
+    CPU-affordable cost. Heads follow the embed_dim//32 convention the
+    converter assumes for nonstandard widths."""
+    from functools import partial
+
+    def factory(patch_size=16, num_register_tokens=0, guide_type=None, **kw):
+        extra = {} if guide_type is None and "guide_type" not in kw else \
+            {"guide_type": guide_type}
+        return dmod.DinoVisionTransformer(
+            patch_size=patch_size, embed_dim=embed_dim, depth=depth,
+            num_heads=num_heads, mlp_ratio=4,
+            block_fn=partial(dmod.Block, attn_class=dmod.MemEffAttention),
+            num_register_tokens=num_register_tokens, **extra, **kw)
+
+    return factory
+
+
+def dump_amodal_dav2_vitl_narrow(out_path):
+    """Guided AmodalDAv2 with encoder='vitl': the RELEASED checkpoint's
+    depth (24 layers) and tap indices [4,11,17,23] (dpt.py:213-218) at
+    width 128. The wrapper code under test is byte-identical to what runs
+    the published model; only DinoVisionTransformer's width argument
+    shrinks."""
+    import numpy as np
+    import torch
+
+    import src.models.amodalsynthdrive.depth_anything_v2.dinov2 as dmod
+    from src.models.amodalsynthdrive.dav2 import AmodalDAv2
+
+    dmod.vit_large = _narrow_factory(dmod, 128, 4, 24)
+    model = AmodalDAv2(encoder="vitl", guide_type="mask+observation",
+                       loss_stategy="entire_target_object", pretrained=False)
+    _randomize(model, SEED + 30)
+    model.eval()
+
+    gen = torch.Generator().manual_seed(SEED + 31)
+    x = torch.rand(1, 3, HW, HW, generator=gen)
+    gm = ((torch.rand(1, 1, HW, HW, generator=gen) > 0.5).float() * 2 - 1)
+    ob = torch.rand(1, 1, HW, HW, generator=gen) * 2 - 1
+    with torch.no_grad():
+        out = model(x, guide_mask=gm, observation=ob)
+
+    arrays = {"in.x": x.numpy(), "in.guide_mask": gm.numpy(),
+              "in.observation": ob.numpy(), "out": out.numpy()}
+    arrays.update({f"sd.{k}": v.numpy() for k, v in model.state_dict().items()})
+    np.savez(out_path, **arrays)
+    print(f"amodal_dav2_vitl_narrow: out std {float(out.std()):.5f}")
+
+
+def dump_raw_dav2_vitg_narrow(out_path):
+    """Raw DAV2 with encoder='vitg': the released BASE model's depth (40
+    layers), swiglufused ffn, taps [9,19,29,39], and its real head shape
+    (features=384, out_channels=[1536]*4, infer.py:60) at trunk width
+    128."""
+    import numpy as np
+    import torch
+
+    import src.models.amodalsynthdrive.depth_anything_v2_raw.dinov2 as dmod
+    from src.models.amodalsynthdrive.depth_anything_v2_raw.dpt import (
+        DepthAnythingV2)
+
+    dmod.vit_giant2 = _narrow_factory(dmod, 128, 4, 40)
+    model = DepthAnythingV2(encoder="vitg", features=384,
+                            out_channels=[1536, 1536, 1536, 1536])
+    _randomize(model, SEED + 40)
+    # the 1536-channel head explodes under the flat 0.05 init (variance
+    # grows ~0.05^2 * fan per conv; 40-layer stack + ReLU head reached
+    # std ~1.5e4): rescale >=2-d weights to variance 1/fan_in so
+    # activations stay O(1) and the 5e-4 absolute gate is meaningful
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.ndim >= 2:
+                fan_in = int(np.prod(p.shape[1:]))
+                p.mul_(1.0 / (0.05 * (fan_in ** 0.5)))
+    model.eval()
+
+    gen = torch.Generator().manual_seed(SEED + 41)
+    x = torch.rand(1, 3, HW, HW, generator=gen)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    with torch.no_grad():
+        out = model((x - mean) / std)
+
+    arrays = {"in.x": x.numpy(), "out": out.numpy()}
+    arrays.update({f"sd.{k}": v.numpy() for k, v in model.state_dict().items()})
+    np.savez(out_path, **arrays)
+    print(f"raw_dav2_vitg_narrow: out std {float(out.std()):.5f}")
+
+
+def dump_infer_chain(out_path):
+    """FULL-CHAIN golden: run the reference's ACTUAL `infer_single_image`
+    (infer.py:71-121) — cv2 preprocessing, predict_base_depth, guided
+    forward, median_filter_blend, colorize, highlight, imwrite — on the
+    shipped asset image+mask with seeded vits/vits weights. Dumps both
+    float maps (captured at the colorize calls), both rendered BGR
+    arrays, and both state dicts.
+
+    Environment shims (library stand-ins, not reference logic):
+      * `.cuda()` -> identity (no GPU in this image);
+      * torchvision Resize(NEAREST) -> F.interpolate(mode='nearest')
+        (torchvision's own tensor path is exactly this call).
+    """
+    import importlib.util
+
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    # torchvision stand-in BEFORE importing infer.py
+    tv_t = sys.modules["torchvision.transforms"]
+
+    class _Resize:
+        def __init__(self, size, interpolation=None):
+            self.size = size
+
+        def __call__(self, x):
+            return F.interpolate(x, self.size, mode="nearest")
+
+    tv_t.Resize = _Resize
+
+    # `from src.models import get_model` must resolve on the synthetic
+    # src.models package the stubs installed
+    def get_model(name, **kw):
+        assert name == "AmodalDAv2"
+        from src.models.amodalsynthdrive.dav2 import AmodalDAv2
+        return AmodalDAv2(**kw)
+
+    sys.modules["src.models"].get_model = get_model
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_infer", f"{REFERENCE}/infer.py")
+    ref_infer = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_infer)
+
+    from src.models.amodalsynthdrive.dav2 import AmodalDAv2
+    from src.models.amodalsynthdrive.depth_anything_v2_raw.dpt import (
+        DepthAnythingV2)
+
+    model_raw = DepthAnythingV2(encoder="vits", features=64,
+                                out_channels=[48, 96, 192, 384])
+    _randomize(model_raw, SEED + 50)
+    model_raw.eval()
+    amodal = AmodalDAv2(encoder="vits", guide_type="mask+observation",
+                        loss_stategy="entire_target_object",
+                        pretrained=False)
+    _randomize(amodal, SEED + 51)
+    amodal.eval()
+
+    # predict_base_depth reads the module-global `model_raw` (infer.py:20)
+    ref_infer.model_raw = model_raw
+
+    floats = []
+    orig_colorize = ref_infer.colorize_depth_maps
+
+    def recording_colorize(depth, *a, **k):
+        floats.append(np.array(depth, np.float64, copy=True))
+        return orig_colorize(depth, *a, **k)
+
+    ref_infer.colorize_depth_maps = recording_colorize
+
+    img_path = f"{REFERENCE}/assets/inference_examples/case1.jpg"
+    mask_path = f"{REFERENCE}/assets/inference_masks/case1_mask.png"
+    import tempfile
+    with tempfile.TemporaryDirectory() as out_dir, torch.no_grad():
+        render_raw, render_amodal = ref_infer.infer_single_image(
+            img_path, mask_path, out_dir, model_raw, amodal)
+
+    assert len(floats) == 2, f"expected 2 colorize calls, saw {len(floats)}"
+    arrays = {
+        "base_float": floats[0], "blended_float": floats[1],
+        "render_raw": render_raw, "render_amodal": render_amodal,
+    }
+    arrays.update({f"sdraw.{k}": v.numpy()
+                   for k, v in model_raw.state_dict().items()})
+    arrays.update({f"sdam.{k}": v.numpy()
+                   for k, v in amodal.state_dict().items()})
+    np.savez(out_path, **arrays)
+    print(f"infer_chain: blended std {floats[1].std():.5f}")
+
+
 DUMPERS = {
     "amodal_dav2_vits": dump_amodal_dav2_vits,
     "raw_dav2_vits_rect": dump_raw_dav2_vits_rect,
     "amodal_dav2_vits_ssi": dump_amodal_dav2_vits_ssi,
     "raw_dav2_vits": dump_raw_dav2_vits,
     "depthfm_unet_tiny": dump_depthfm_unet_tiny,
+    "amodal_dav2_vitl_narrow": dump_amodal_dav2_vitl_narrow,
+    "raw_dav2_vitg_narrow": dump_raw_dav2_vitg_narrow,
+    "infer_chain": dump_infer_chain,
 }
 
 
