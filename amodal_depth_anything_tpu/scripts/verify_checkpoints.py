@@ -1,0 +1,402 @@
+"""Checkpoint-day verification kit.
+
+One command that, given any subset of the real released weights, runs
+the converter + parity + quality gates and prints a pass/fail table —
+so the day the network-blocked checkpoints land, every ROADMAP
+"verify when available" item has a ready-to-run row:
+
+    python -m amodal_depth_anything_tpu.scripts.verify_checkpoints \
+        --dav2_base work_dir/ckp/amodal_depth_anything_base.pth \
+        --dav2_amodal path/to/model.safetensors \
+        [--depthfm depthfm-v1.ckpt] [--sam sam_vit_h.pth] \
+        [--pix2gestalt epoch=000005.ckpt] [--rmbg rmbg14.pth] \
+        [--invisible_stitch invisible-stitch.pt] \
+        [--image IMG --mask MASK] [--quality] [--skip_forward]
+
+Checks per artifact:
+  * convert: converter runs, every leaf finite, param-count accounting
+    (torch numel vs our pytree numel).
+  * forward: jit forward smoke on a small input (finite output).
+  * full-chain <1e-3 gate (needs --dav2_base AND --dav2_amodal and the
+    reference checkout + torch): runs the reference's own
+    `infer_single_image` with the REAL weights in a subprocess
+    (tests/ref_golden_dump.py infer_chain, GOLDEN_* env) and compares
+    our `AmodalDepthPipeline` float maps — the BASELINE.json north star.
+  * --quality: int8 and ToMe blended-depth deltas vs the exact pipeline
+    (pipeline/quality.py) on the given image/mask.
+
+Rows SKIP when their inputs are absent; the kit exits nonzero only on
+FAIL. Runs green today on stubbed (seeded-weight) dumps — see
+tests/test_verify_checkpoints.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dav2_base", default=None)
+    p.add_argument("--dav2_amodal", default=None)
+    p.add_argument("--depthfm", default=None)
+    p.add_argument("--sam", default=None)
+    p.add_argument("--pix2gestalt", default=None)
+    p.add_argument("--rmbg", default=None)
+    p.add_argument("--invisible_stitch", default=None)
+    p.add_argument("--image", default=None,
+                   help="image for the chain/quality gates "
+                        "(default: reference asset)")
+    p.add_argument("--mask", default=None)
+    p.add_argument("--quality", action="store_true",
+                   help="run int8/ToMe quality-delta rows")
+    p.add_argument("--tome_base", default=None,
+                   help="'layer,r' for the base trunk (default: merge "
+                        "half the tokens after the first tap)")
+    p.add_argument("--tome_amodal", default=None)
+    p.add_argument("--skip_forward", action="store_true",
+                   help="converter rows only (no jit forwards)")
+    p.add_argument("--skip_chain", action="store_true",
+                   help="skip the (slow, 518px) full-chain gate")
+    p.add_argument("--size", type=int, default=518)
+    p.add_argument("--reference", default=REFERENCE)
+    p.add_argument("--output", default=None)
+    return p
+
+
+def _numel(tree) -> int:
+    import jax
+    return sum(int(np.prod(np.shape(leaf))) for leaf in jax.tree.leaves(tree))
+
+
+def _finite(tree) -> bool:
+    import jax
+    return all(np.isfinite(np.asarray(leaf)).all()
+               for leaf in jax.tree.leaves(tree))
+
+
+class Report:
+    def __init__(self):
+        self.rows = []
+
+    def add(self, name, status, detail=""):
+        self.rows.append((name, status, detail))
+        print(f"{name:<28} {status:<6} {detail}")
+
+    @property
+    def failed(self):
+        return any(s == "FAIL" for _, s, _ in self.rows)
+
+    def text(self):
+        lines = [f"{n:<28} {s:<6} {d}" for n, s, d in self.rows]
+        return "\n".join(lines) + "\n"
+
+
+def _row(report, name, fn):
+    try:
+        detail = fn()
+        report.add(name, "PASS", detail or "")
+    except Exception as e:  # noqa: BLE001 — the table IS the error report
+        report.add(name, "FAIL", f"{type(e).__name__}: {e}")
+
+
+def check_dav2(report, path, *, raw, skip_forward, size):
+    from ..convert.torch_to_jax import (convert_dav2, infer_dav2_config,
+                                        load_state_dict)
+
+    name = "dav2_base" if raw else "dav2_amodal"
+    sd = load_state_dict(path)
+    cfg = infer_dav2_config(sd)
+    holder = {}
+
+    def _convert():
+        params = convert_dav2(sd, cfg)
+        assert _finite(params), "non-finite converted params"
+        holder["params"] = params
+        t_n = sum(int(np.prod(v.shape)) for v in sd.values())
+        j_n = _numel(params)
+        assert j_n == t_n, f"param count drift: torch {t_n} vs ours {j_n}"
+        return f"{cfg.encoder}{' raw' if cfg.raw else ''} {t_n / 1e6:.1f}M"
+
+    _row(report, f"{name}_convert", _convert)
+    if skip_forward or "params" not in holder:
+        return holder.get("params"), cfg
+
+    def _forward():
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.amodal_dav2 import apply_amodal_dav2, apply_raw_dav2
+        x = jnp.asarray(np.random.default_rng(0).random((1, 56, 56, 3)),
+                        jnp.float32)
+        params = jax.tree.map(jnp.asarray, holder["params"])
+        if cfg.raw:
+            out = apply_raw_dav2(params, cfg, x)
+        else:
+            g = jnp.ones((1, 56, 56, 1), jnp.float32)
+            out = apply_amodal_dav2(params, cfg, x, guide_mask=g,
+                                    observation=g * 0.5)
+        out = np.asarray(out)
+        assert np.isfinite(out).all(), "non-finite forward output"
+        return f"out[{','.join(map(str, out.shape))}] ok"
+
+    _row(report, f"{name}_forward", _forward)
+    return holder.get("params"), cfg
+
+
+def check_full_chain(report, args):
+    """<1e-3 float gate vs the reference's own infer chain (real weights)."""
+    import subprocess
+    import tempfile
+
+    dump_script = os.path.join(os.path.dirname(__file__), "..", "..",
+                               "tests", "ref_golden_dump.py")
+    if not os.path.exists(dump_script):
+        report.add("full_chain_1e-3", "SKIP", "tests/ref_golden_dump.py "
+                                              "not found (installed pkg?)")
+        return
+    if not os.path.isdir(args.reference):
+        report.add("full_chain_1e-3", "SKIP", "reference checkout absent")
+        return
+
+    def _run():
+        img = args.image or \
+            f"{args.reference}/assets/inference_examples/case1.jpg"
+        msk = args.mask or \
+            f"{args.reference}/assets/inference_masks/case1_mask.png"
+        env = dict(os.environ,
+                   GOLDEN_RAW_CKPT=os.path.abspath(args.dav2_base),
+                   GOLDEN_AMODAL_CKPT=os.path.abspath(args.dav2_amodal),
+                   GOLDEN_IMAGE=os.path.abspath(img),
+                   GOLDEN_MASK=os.path.abspath(msk))
+        with tempfile.TemporaryDirectory() as td:
+            out = os.path.join(td, "chain.npz")
+            subprocess.run([sys.executable, dump_script, "infer_chain", out],
+                           check=True, env=env, timeout=3600)
+            data = dict(np.load(out))
+
+            import cv2
+            from PIL import Image
+
+            from ..pipeline import AmodalDepthPipeline
+            pipe = AmodalDepthPipeline.from_checkpoints(
+                args.dav2_base, args.dav2_amodal, size=args.size)
+            image = cv2.imread(img)
+            mask = (np.asarray(Image.open(msk)) > 0).astype(np.float32)
+            if mask.ndim == 3:
+                mask = mask[..., 0]
+            base, blended = pipe(
+                image, mask,
+                base_image=cv2.resize(image, (args.size, args.size)))
+            b = float(np.abs(base - data["base_float"]).max())
+            a = float(np.abs(blended - data["blended_float"]).max())
+            assert b < 1e-3, f"base max diff {b:.2e} >= 1e-3"
+            assert a < 1e-3, f"blended max diff {a:.2e} >= 1e-3"
+            return f"base {b:.2e}, blended {a:.2e}"
+
+    _row(report, "full_chain_1e-3", _run)
+
+
+def check_quality(report, args):
+    """int8 / ToMe blended-depth deltas vs the exact pipeline."""
+    import cv2
+    from PIL import Image
+
+    from ..pipeline import AmodalDepthPipeline
+    from ..pipeline.quality import corpus_quality_report
+
+    img_path = args.image or \
+        f"{args.reference}/assets/inference_examples/case1.jpg"
+    msk_path = args.mask or \
+        f"{args.reference}/assets/inference_masks/case1_mask.png"
+    if not os.path.exists(img_path):
+        report.add("quality", "SKIP", "no image available")
+        return
+    image = cv2.imread(img_path)
+    mask = (np.asarray(Image.open(msk_path)) > 0).astype(np.float32)
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    corpus = [{"image": image, "mask": mask}]
+
+    exact = AmodalDepthPipeline.from_checkpoints(
+        args.dav2_base, args.dav2_amodal, size=args.size)
+
+    def run_exact(im, mk):
+        return exact(im[0], mk[0, ..., 0])
+
+    def _int8():
+        q = AmodalDepthPipeline.from_checkpoints(
+            args.dav2_base, args.dav2_amodal, size=args.size)
+        q.quantize_int8(base=True, amodal=True, head=True,
+                        calibration=(image, mask))
+        rep = corpus_quality_report(
+            run_exact, lambda im, mk: q(im[0], mk[0, ..., 0]), corpus)
+        o = rep["overall"]
+        return (f"blended max {o['blended_max_abs']:.2e} "
+                f"mean {o['blended_mean_abs']:.2e}")
+
+    _row(report, "int8_quality_delta", _int8)
+
+    def _tome():
+        from ..pipeline.amodal_pipeline import amodal_depth_graph
+        import jax.numpy as jnp
+        n_tokens = (args.size // 14) ** 2 + 1
+        first_tap = {"vits": 2, "vitb": 2, "vitl": 4, "vitg": 9,
+                     "vitt": 0}
+        bt = tuple(int(v) for v in args.tome_base.split(",")) \
+            if args.tome_base else (first_tap[exact.raw_cfg.encoder],
+                                    n_tokens // 2)
+        at = tuple(int(v) for v in args.tome_amodal.split(",")) \
+            if args.tome_amodal else (first_tap[exact.amodal_cfg.encoder],
+                                      n_tokens // 2)
+
+        def run_tome(im, mk):
+            base, blended = amodal_depth_graph(
+                exact.params_raw, exact.params_amodal,
+                jnp.asarray(im), jnp.asarray(mk),
+                raw_cfg=exact.raw_cfg, amodal_cfg=exact.amodal_cfg,
+                size=args.size, base_token_merge=bt, amodal_token_merge=at)
+            return np.asarray(base), np.asarray(blended)
+
+        def run_plain(im, mk):
+            base, blended = amodal_depth_graph(
+                exact.params_raw, exact.params_amodal,
+                jnp.asarray(im), jnp.asarray(mk),
+                raw_cfg=exact.raw_cfg, amodal_cfg=exact.amodal_cfg,
+                size=args.size)
+            return np.asarray(base), np.asarray(blended)
+
+        rep = corpus_quality_report(run_plain, run_tome, corpus)
+        o = rep["overall"]
+        return (f"base={bt} amodal={at}: blended max "
+                f"{o['blended_max_abs']:.2e} mean {o['blended_mean_abs']:.2e}")
+
+    _row(report, "tome_quality_delta", _tome)
+
+
+def check_depthfm(report, path, skip_forward):
+    def _convert():
+        from ..convert.depthfm_convert import load_depthfm_ckpt
+        cfg, params = load_depthfm_ckpt(path)
+        assert _finite(params), "non-finite converted params"
+        return (f"unet {_numel(params) / 1e6:.1f}M, "
+                f"noising_step={cfg.noising_step}")
+
+    _row(report, "depthfm_convert", _convert)
+
+
+def check_sam(report, path, skip_forward):
+    def _convert():
+        import torch
+
+        from ..convert.sam_convert import convert_sam
+        from ..models.sam import SAMConfig
+        sd = {k: v.numpy() for k, v in
+              torch.load(path, map_location="cpu").items()}
+        params = convert_sam(sd, SAMConfig())
+        assert _finite(params), "non-finite converted params"
+        return f"{_numel(params) / 1e6:.1f}M"
+
+    _row(report, "sam_convert", _convert)
+
+
+def check_pix2gestalt(report, path, skip_forward):
+    def _convert():
+        import torch
+
+        from ..convert.heuristics_convert import convert_pix2gestalt_unet
+        from ..heuristics.mask_heuristics import Pix2GestaltConfig
+        ldm = torch.load(path, map_location="cpu", weights_only=False)
+        sd = {k: v.numpy() for k, v in ldm["state_dict"].items()}
+        params = convert_pix2gestalt_unet(sd, Pix2GestaltConfig().unet)
+        assert _finite(params), "non-finite converted params"
+        return f"p2g UNet {_numel(params) / 1e6:.1f}M"
+
+    _row(report, "pix2gestalt_convert", _convert)
+
+
+def check_rmbg(report, path, skip_forward):
+    def _convert():
+        import torch
+
+        from ..convert.rmbg_convert import convert_rmbg
+        from ..models.rmbg import RMBGConfig
+        sd = {k: v.numpy() for k, v in
+              torch.load(path, map_location="cpu").items()}
+        params = convert_rmbg(sd, RMBGConfig())
+        assert _finite(params), "non-finite folded params"
+        return f"{_numel(params) / 1e6:.1f}M (BN folded)"
+
+    _row(report, "rmbg_convert", _convert)
+
+
+def check_invisible_stitch(report, path, skip_forward):
+    def _convert():
+        import torch
+
+        from ..convert.zoedepth_convert import convert_zoedepth
+        from ..models.zoedepth import ZoeDepthConfig
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        if "model" in raw and isinstance(raw["model"], dict):
+            raw = raw["model"]
+        sd = {k: v.numpy() for k, v in raw.items()}
+        params = convert_zoedepth(sd, ZoeDepthConfig())
+        assert _finite(params), "non-finite converted params"
+        return f"{_numel(params) / 1e6:.1f}M"
+
+    _row(report, "invisible_stitch_convert", _convert)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    report = Report()
+    print(f"{'check':<28} {'status':<6} detail")
+    print("-" * 70)
+
+    if args.dav2_base:
+        check_dav2(report, args.dav2_base, raw=True,
+                   skip_forward=args.skip_forward, size=args.size)
+    else:
+        report.add("dav2_base_convert", "SKIP", "--dav2_base not given")
+    if args.dav2_amodal:
+        check_dav2(report, args.dav2_amodal, raw=False,
+                   skip_forward=args.skip_forward, size=args.size)
+    else:
+        report.add("dav2_amodal_convert", "SKIP", "--dav2_amodal not given")
+
+    if args.dav2_base and args.dav2_amodal:
+        if args.skip_chain:
+            report.add("full_chain_1e-3", "SKIP", "--skip_chain")
+        else:
+            check_full_chain(report, args)
+        if args.quality:
+            check_quality(report, args)
+    else:
+        report.add("full_chain_1e-3", "SKIP", "needs both dav2 ckpts")
+
+    for attr, fn in (("depthfm", check_depthfm), ("sam", check_sam),
+                     ("pix2gestalt", check_pix2gestalt),
+                     ("rmbg", check_rmbg),
+                     ("invisible_stitch", check_invisible_stitch)):
+        path = getattr(args, attr)
+        if path:
+            fn(report, path, args.skip_forward)
+        else:
+            report.add(f"{attr}_convert", "SKIP", f"--{attr} not given")
+
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(report.text())
+    print("-" * 70)
+    print("FAIL" if report.failed else "OK")
+    return 1 if report.failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -27,6 +27,11 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
             flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # the axon TPU plugin ignores JAX_PLATFORMS; force it (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 A100_PYTORCH_EST_IMG_PER_SEC = 4.3
@@ -52,16 +57,27 @@ def main():
     p_raw = jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(jax.random.PRNGKey(0))
     p_amodal = jax.jit(lambda k: init_amodal_dav2(k, amodal_cfg))(
         jax.random.PRNGKey(1))
+    # random init leaves the raw ReLU head all-negative (flat-0 depth),
+    # which would make the AMODAL_QUALITY delta vacuous; bias it live
+    # (zero perf impact — same program)
+    conv2 = p_raw["depth_head"]["scratch"]["output_conv2"]["conv2"]
+    conv2["b"] = conv2["b"] + 1.0
     p_raw = jax.tree.map(lambda a: a.astype(dtype), p_raw)
     p_amodal = jax.tree.map(lambda a: a.astype(dtype), p_amodal)
 
-    image = jnp.zeros((batch, size, size, 3), dtype) + 127.0
+    # seeded non-constant image: perf is data-independent, but the
+    # AMODAL_QUALITY delta is meaningless on a constant input (all
+    # tokens identical -> ToMe merges are exact by construction)
+    image = jax.random.uniform(jax.random.PRNGKey(7),
+                               (batch, size, size, 3), dtype, 0.0, 255.0)
     mask = jnp.zeros((batch, size, size, 1), dtype)
     mask = mask.at[:, size // 4: size // 2, size // 4: size // 2].set(1.0)
 
     int8_base = os.environ.get("AMODAL_INT8_BASE", "") == "1"
     int8_amodal = os.environ.get("AMODAL_INT8_AMODAL", "") == "1"
     int8_calib = os.environ.get("AMODAL_INT8_CALIB", "") == "1"
+    # exact (pre-optimization) params for the AMODAL_QUALITY=1 delta
+    p_raw_exact, p_amodal_exact = p_raw, p_amodal
     if int8_base or int8_amodal:
         # opt-in W8A8 serving path for the frozen trunks (ops/quant.py);
         # NOT the default: it trades the <1e-3 parity gate for speed.
@@ -170,6 +186,29 @@ def main():
         lat.append(time.perf_counter() - t0)
     p50_ms = sorted(lat)[len(lat) // 2] * 1e3
 
+    # AMODAL_QUALITY=1: quality gate for the parity-breaking serving
+    # modes — blended-depth delta vs the EXACT (unquantized, unmerged)
+    # graph on the same batch, reported next to img/s so no optimized
+    # number ships without its accuracy cost (pipeline/quality.py).
+    quality = None
+    optimized = int8_base or int8_amodal or base_tm or amodal_tm
+    if os.environ.get("AMODAL_QUALITY", "") == "1" and optimized:
+        from amodal_depth_anything_tpu.pipeline.quality import \
+            blended_depth_delta
+        base_e, blended_e = amodal_depth_graph(
+            p_raw_exact, p_amodal_exact, image, mask,
+            raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=size)
+        base_o, blended_o = amodal_depth_graph(
+            p_raw, p_amodal, image, mask,
+            raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=size,
+            base_token_merge=base_tm, amodal_token_merge=amodal_tm)
+        import numpy as _np
+        quality = blended_depth_delta(
+            _np.asarray(base_e, _np.float32),
+            _np.asarray(blended_e, _np.float32),
+            _np.asarray(base_o, _np.float32),
+            _np.asarray(blended_o, _np.float32))
+
     # BASELINE.json north star is v5e-8 aggregate vs one A100: >=2x.
     v5e8_aggregate = img_per_sec * 8
     head_active = (os.environ.get("AMODAL_INT8_HEAD", "") == "1"
@@ -179,14 +218,17 @@ def main():
         (" int8-head" if head_active else "") + \
         (f" tome-base={tome_env}" if base_tm else "") + \
         (f" tome-amodal={tome_am_env}" if amodal_tm else "")
-    print(json.dumps({
+    line = {
         "metric": f"amodal-depth images/sec/chip @ {size}px "
                   f"(base {base_enc} + amodal {amodal_enc}, bf16{quant_tag}, "
                   f"batch {batch}; p50 single-image {p50_ms:.0f} ms)",
         "value": round(img_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(v5e8_aggregate / A100_PYTORCH_EST_IMG_PER_SEC, 3),
-    }))
+    }
+    if quality is not None:
+        line["quality_delta"] = {k: round(v, 6) for k, v in quality.items()}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

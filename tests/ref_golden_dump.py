@@ -383,14 +383,55 @@ def dump_infer_chain(out_path):
     from src.models.amodalsynthdrive.depth_anything_v2_raw.dpt import (
         DepthAnythingV2)
 
-    model_raw = DepthAnythingV2(encoder="vits", features=64,
-                                out_channels=[48, 96, 192, 384])
-    _randomize(model_raw, SEED + 50)
+    # checkpoint-day mode (scripts/verify_checkpoints.py): GOLDEN_RAW_CKPT
+    # / GOLDEN_AMODAL_CKPT point at REAL weights — the reference chain
+    # then runs the published models and the <1e-3 gate is the actual
+    # BASELINE.json north star, not a seeded-weights proxy.
+    import os
+    raw_ckpt = os.environ.get("GOLDEN_RAW_CKPT")
+    amodal_ckpt = os.environ.get("GOLDEN_AMODAL_CKPT")
+
+    raw_presets = {"vits": (64, [48, 96, 192, 384]),
+                   "vitb": (128, [96, 192, 384, 768]),
+                   "vitl": (256, [256, 512, 1024, 1024]),
+                   "vitg": (384, [1536, 1536, 1536, 1536])}
+    enc_by_dim = {384: "vits", 768: "vitb", 1024: "vitl", 1536: "vitg"}
+
+    def _load_sd(path):
+        if path.endswith(".safetensors"):
+            from safetensors.torch import load_file
+            return load_file(path)
+        return torch.load(path, map_location="cpu")
+
+    if raw_ckpt:
+        sd = _load_sd(raw_ckpt)
+        enc = enc_by_dim[sd["pretrained.cls_token"].shape[-1]]
+        feats, ocs = raw_presets[enc]
+        model_raw = DepthAnythingV2(encoder=enc, features=feats,
+                                    out_channels=ocs)
+        # reference loads the base with strict=False (infer.py:61)
+        model_raw.load_state_dict(sd, strict=False)
+    else:
+        model_raw = DepthAnythingV2(encoder="vits", features=64,
+                                    out_channels=[48, 96, 192, 384])
+        _randomize(model_raw, SEED + 50)
     model_raw.eval()
-    amodal = AmodalDAv2(encoder="vits", guide_type="mask+observation",
-                        loss_stategy="entire_target_object",
-                        pretrained=False)
-    _randomize(amodal, SEED + 51)
+
+    if amodal_ckpt:
+        sd = _load_sd(amodal_ckpt)
+        enc = enc_by_dim[sd["encoder.pretrained.cls_token"].shape[-1]]
+        gc = sd["encoder.pretrained.patch_embed_guidance.proj.weight"].shape[1]
+        gt = {2: "mask+observation", 1: "mask", 4: "image+mask",
+              5: "image+mask+observation"}[gc]
+        amodal = AmodalDAv2(encoder=enc, guide_type=gt,
+                            loss_stategy="entire_target_object",
+                            pretrained=False)
+        amodal.load_state_dict(sd, strict=True)
+    else:
+        amodal = AmodalDAv2(encoder="vits", guide_type="mask+observation",
+                            loss_stategy="entire_target_object",
+                            pretrained=False)
+        _randomize(amodal, SEED + 51)
     amodal.eval()
 
     # predict_base_depth reads the module-global `model_raw` (infer.py:20)
@@ -405,8 +446,10 @@ def dump_infer_chain(out_path):
 
     ref_infer.colorize_depth_maps = recording_colorize
 
-    img_path = f"{REFERENCE}/assets/inference_examples/case1.jpg"
-    mask_path = f"{REFERENCE}/assets/inference_masks/case1_mask.png"
+    img_path = os.environ.get(
+        "GOLDEN_IMAGE", f"{REFERENCE}/assets/inference_examples/case1.jpg")
+    mask_path = os.environ.get(
+        "GOLDEN_MASK", f"{REFERENCE}/assets/inference_masks/case1_mask.png")
     import tempfile
     with tempfile.TemporaryDirectory() as out_dir, torch.no_grad():
         render_raw, render_amodal = ref_infer.infer_single_image(
@@ -417,10 +460,13 @@ def dump_infer_chain(out_path):
         "base_float": floats[0], "blended_float": floats[1],
         "render_raw": render_raw, "render_amodal": render_amodal,
     }
-    arrays.update({f"sdraw.{k}": v.numpy()
-                   for k, v in model_raw.state_dict().items()})
-    arrays.update({f"sdam.{k}": v.numpy()
-                   for k, v in amodal.state_dict().items()})
+    if not (raw_ckpt and amodal_ckpt):
+        # real-checkpoint mode skips the (possibly multi-GB) state-dict
+        # copy — the caller already holds the weight files
+        arrays.update({f"sdraw.{k}": v.numpy()
+                       for k, v in model_raw.state_dict().items()})
+        arrays.update({f"sdam.{k}": v.numpy()
+                       for k, v in amodal.state_dict().items()})
     np.savez(out_path, **arrays)
     print(f"infer_chain: blended std {floats[1].std():.5f}")
 

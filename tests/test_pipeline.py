@@ -141,3 +141,56 @@ def test_pipeline_quantize_int8_calibrated(rng):
     assert np.isfinite(base_q).all() and np.isfinite(blend_q).all()
     assert np.abs(base_q - base_ref).mean() < 0.05
     assert np.abs(blend_q - blend_ref).mean() < 0.05
+
+
+def test_quality_harness_reports_deltas(rng):
+    """pipeline/quality.py: zero delta for identical pipelines, nonzero
+    for a ToMe-merged one, with difficulty buckets when visible/whole
+    masks are present."""
+    import jax
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, init_amodal_dav2)
+    from amodal_depth_anything_tpu.pipeline.amodal_pipeline import (
+        amodal_depth_graph)
+    from amodal_depth_anything_tpu.pipeline.quality import (
+        blended_depth_delta, corpus_quality_report)
+
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    am_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    p_raw = jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(
+        jax.random.PRNGKey(0))
+    p_am = jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(
+        jax.random.PRNGKey(1))
+    # random init drives the raw ReLU head all-negative (output flat 0,
+    # which would make every delta vacuously zero); bias it live
+    conv2 = p_raw["depth_head"]["scratch"]["output_conv2"]["conv2"]
+    conv2["b"] = conv2["b"] + 1.0
+
+    def run(tm):
+        def f(im, mk):
+            base, blended = amodal_depth_graph(
+                p_raw, p_am, jnp.asarray(im), jnp.asarray(mk),
+                raw_cfg=raw_cfg, amodal_cfg=am_cfg, size=28,
+                attn_impl="xla", base_token_merge=tm)
+            return np.asarray(base), np.asarray(blended)
+        return f
+
+    img = (rng.random((28, 28, 3)) * 255).astype(np.uint8)
+    msk = np.zeros((28, 28), np.float32)
+    msk[4:20, 4:20] = 1.0
+    vis = np.zeros_like(msk)
+    vis[4:20, 4:12] = 1.0
+    corpus = [{"image": img, "mask": msk, "visible": vis, "whole": msk}]
+
+    same = corpus_quality_report(run(None), run(None), corpus)
+    assert same["overall"]["blended_max_abs"] == 0.0
+    assert same["n_samples"] == 1
+    assert same["per_bucket"]["hard"]["n"] == 1  # vis ratio 0.5 -> hard
+
+    merged = corpus_quality_report(run(None), run((0, 1)), corpus)
+    assert merged["overall"]["blended_max_abs"] > 0.0
+    d = blended_depth_delta(np.zeros((1, 4, 4)), np.ones((1, 4, 4)),
+                            np.zeros((1, 4, 4)), np.zeros((1, 4, 4)))
+    assert d["blended_max_abs"] == 1.0 and d["base_max_abs"] == 0.0
