@@ -114,3 +114,46 @@ def test_precomputed_eval_script(tmp_path, rng, capsys):
     for vals in rows:
         rmse, log10, d1 = vals
         assert rmse < 1e-4 and d1 > 0.999
+
+
+def test_pix2gestalt_eval_single(tmp_path):
+    """Qualitative baseline script (reference pix2gestalt_eval_single.py):
+    depth on a pre-computed reconstruction, aligned to the scene depth
+    over the visible mask, both written as 16-bit PNGs."""
+    import torch
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.models.amodal_dav2 import DAV2Config
+    from amodal_depth_anything_tpu.scripts import pix2gestalt_eval_single
+    from tests.test_models import _fake_torch_sd
+
+    rng = np.random.default_rng(0)
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    sd_raw, _ = _fake_torch_sd(raw_cfg, seed=1)
+    ckpt = str(tmp_path / "base.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in sd_raw.items()}, ckpt)
+
+    rec = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(rec).save(tmp_path / "rec.jpg")
+    d16 = (rng.random((64, 64)) * 60000).astype(np.uint16)
+    Image.fromarray(d16).save(tmp_path / "depth_raw.png")
+    vis = np.zeros((64, 64), np.uint8)
+    vis[8:40, 8:40] = 255
+    Image.fromarray(vis).save(tmp_path / "visible.png")
+
+    out = tmp_path / "out"
+    depth, aligned = pix2gestalt_eval_single.main([
+        "--reconstruction", str(tmp_path / "rec.jpg"),
+        "--raw_depth", str(tmp_path / "depth_raw.png"),
+        "--visible_mask", str(tmp_path / "visible.png"),
+        "--checkpoint", ckpt,
+        "--output_dir", str(out),
+        "--size", "28", "--out_size", "32",
+    ])
+    assert depth.shape == (32, 32) and np.isfinite(depth).all()
+    assert 0.0 <= depth.min() and depth.max() <= 1.0
+    pred = np.asarray(Image.open(out / "pred_depth.png"))
+    comb = np.asarray(Image.open(out / "combined_depth.png"))
+    assert pred.dtype == np.uint16 and pred.shape == (32, 32)
+    assert comb.dtype == np.uint16 and comb.shape == (32, 32)

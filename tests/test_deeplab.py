@@ -88,3 +88,61 @@ def test_amodalsynthdrive_trainer(tmp_path):
     after = np.asarray(
         trainer.state.params["params"]["visible_depth_head"]["pred"]["w"])
     assert not np.array_equal(before, after)
+
+
+def test_amodalsynthdrive_trainer_dp4_subprocess(tmp_path):
+    """ADDeepLab training on a dp=4 CPU mesh. XLA:CPU's thunk-runtime
+    concurrent executor deadlocks this program's ~213 collectives at >=4
+    virtual devices (upstream bug, root-caused in ROADMAP 'Known
+    issues'); the documented workaround --xla_cpu_use_thunk_runtime=false
+    must be set at process start, so the run happens in a subprocess.
+    Real TPUs use a different collective runtime — this pins that the
+    dp>2 program itself is sound."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from amodal_depth_anything_tpu.data import (DataLoader, DatasetMode,
+                                                    SAMAmodalDataset)
+        from amodal_depth_anything_tpu.data.synthetic import \\
+            make_synthetic_sam_tree
+        from amodal_depth_anything_tpu.parallel import MeshConfig, make_mesh
+        from amodal_depth_anything_tpu.train import (AmodalSynthDriveTrainer,
+                                                     TrainerConfig)
+        from tests.test_deeplab import tiny_model
+
+        root = "%s"
+        list_path = make_synthetic_sam_tree(root, n=8, hw=64)
+        ds = SAMAmodalDataset(mode=DatasetMode.TRAIN,
+                              filename_ls_path=list_path, dataset_dir=root,
+                              resize_to_hw=(64, 64))
+        loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True)
+        mesh = make_mesh(MeshConfig(data=4, model=1),
+                         devices=jax.devices()[:4])
+        cfg = TrainerConfig(max_iter=2, lr_warmup_steps=0,
+                            validation_period=0, visualization_period=0,
+                            save_period=0, compute_dtype="float32",
+                            remat=False, attn_impl="xla",
+                            eval_metrics=("abs_relative_difference",))
+        trainer = AmodalSynthDriveTrainer(cfg, tiny_model(), loader,
+                                          mesh=mesh, w_occ=0.7)
+        trainer.train()
+        assert trainer.effective_iter == 2
+        print("DP4_OK")
+    """ % str(tmp_path / "d"))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = ("--xla_cpu_use_thunk_runtime=false "
+                        "--xla_force_host_platform_device_count=8 "
+                        "--xla_cpu_parallel_codegen_split_count=1")
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    (tmp_path / "d").mkdir()
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=1500)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "DP4_OK" in res.stdout
