@@ -125,7 +125,8 @@ def apply_amodal_dav2(params: dict, cfg: DAV2Config, x: jax.Array, *,
                       act_sharding=None,
                       pipeline_mesh=None,
                       pipeline_microbatches: int = 4,
-                      token_merge: tuple[int, int] | None = None) -> jax.Array:
+                      token_merge: tuple[int, int] | None = None,
+                      head_batch_tile: int | None = None) -> jax.Array:
     """x: [B, H, W, 3] RGB in [0,1]; returns depth [B, H', W', 1]
     (H' = 14 * (H // 14)), sigmoid-compressed unless ssi/raw head.
 
@@ -142,13 +143,15 @@ def apply_amodal_dav2(params: dict, cfg: DAV2Config, x: jax.Array, *,
         pipeline_mesh=pipeline_mesh,
         pipeline_microbatches=pipeline_microbatches,
         token_merge=token_merge)
-    return dpt_head(params["depth_head"], cfg.dpt, feats, (ph, pw))
+    return dpt_head(params["depth_head"], cfg.dpt, feats, (ph, pw),
+                    batch_tile=head_batch_tile)
 
 
 def apply_raw_dav2(params: dict, cfg: DAV2Config, x: jax.Array, *,
                    attn_impl: str | None = None,
                    act_sharding=None,
-                   token_merge: tuple[int, int] | None = None) -> jax.Array:
+                   token_merge: tuple[int, int] | None = None,
+                   head_batch_tile: int | None = None) -> jax.Array:
     """Base-depth predictor: [B,H,W,3] in [0,1] -> [B,H',W'] relative depth.
 
     Note: unlike AmodalDAv2, the reference raw path normalizes on the host
@@ -157,5 +160,6 @@ def apply_raw_dav2(params: dict, cfg: DAV2Config, x: jax.Array, *,
     assert cfg.raw
     depth = apply_amodal_dav2(params, cfg, x, attn_impl=attn_impl,
                               act_sharding=act_sharding,
-                              token_merge=token_merge)
+                              token_merge=token_merge,
+                              head_batch_tile=head_batch_tile)
     return depth[..., 0]

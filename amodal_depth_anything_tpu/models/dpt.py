@@ -121,8 +121,29 @@ def _fusion(p: dict, x: jax.Array, skip: jax.Array | None,
 
 def dpt_head(params: dict, cfg: DPTConfig,
              features: Sequence[tuple[jax.Array, jax.Array]],
-             patch_hw: tuple[int, int]) -> jax.Array:
-    """features: [(patch_tokens [B,N,D], cls [B,D])] x4 -> depth [B,H,W,1]."""
+             patch_hw: tuple[int, int], *,
+             batch_tile: int | None = None) -> jax.Array:
+    """features: [(patch_tokens [B,N,D], cls [B,D])] x4 -> depth [B,H,W,1].
+
+    `batch_tile`: run the head over batch chunks of this size under
+    `lax.map` (EXACT — convs are batch-independent). The full-grid
+    fusion pyramid's activations dominate pipeline HBM at large batch
+    (batch 16 @1022 px needs 23.2 GB bf16 on a 16 GB v5e with the
+    all-at-once head); serializing the head over chunks caps its peak at
+    one chunk's worth while the trunks keep the full batch for MXU
+    efficiency."""
+    b = features[0][0].shape[0]
+    if batch_tile is not None and b > batch_tile:
+        if b % batch_tile:
+            raise ValueError(f"batch {b} not divisible by batch_tile "
+                             f"{batch_tile}")
+        n_chunks = b // batch_tile
+        stacked = [(tok.reshape(n_chunks, batch_tile, *tok.shape[1:]),
+                    cls.reshape(n_chunks, batch_tile, *cls.shape[1:]))
+                   for tok, cls in features]
+        out = jax.lax.map(
+            lambda feats: dpt_head(params, cfg, feats, patch_hw), stacked)
+        return out.reshape(b, *out.shape[2:])
     ph, pw = patch_hw
     taps = []
     for i, (tokens, _cls) in enumerate(features):

@@ -38,14 +38,16 @@ __all__ = ["amodal_depth_graph", "AmodalDepthPipeline"]
 @functools.partial(jax.jit, static_argnames=("raw_cfg", "amodal_cfg", "size",
                                              "attn_impl", "act_sharding",
                                              "base_token_merge",
-                                             "amodal_token_merge"))
+                                             "amodal_token_merge",
+                                             "head_batch_tile"))
 def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
                        raw_cfg: DAV2Config, amodal_cfg: DAV2Config,
                        size: int = 518, attn_impl: str | None = None,
                        act_sharding=None,
                        base_token_merge: tuple[int, int] | None = None,
                        amodal_token_merge: tuple[int, int] | None = None,
-                       base_image=None):
+                       base_image=None,
+                       head_batch_tile: int | None = None):
     """image: [B,h,w,3] float in [0,255]; mask: [B,h,w,1] float (>0 = on).
 
     Returns (base_depth [B,S,S], blended_depth [B,S,S]) in [0,1].
@@ -70,7 +72,8 @@ def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
     base_depth = apply_raw_dav2(params_raw, raw_cfg, base_in,
                                 attn_impl=attn_impl,
                                 act_sharding=act_sharding,
-                                token_merge=base_token_merge)  # [B,S,S]
+                                token_merge=base_token_merge,
+                                head_batch_tile=head_batch_tile)  # [B,S,S]
     lo = jnp.min(base_depth, axis=(-1, -2), keepdims=True)
     hi = jnp.max(base_depth, axis=(-1, -2), keepdims=True)
     base_depth = (base_depth - lo) / jnp.maximum(hi - lo, 1e-8)
@@ -84,7 +87,8 @@ def amodal_depth_graph(params_raw, params_amodal, image, mask, *,
         guide_mask=m * 2.0 - 1.0,
         observation=obs * 2.0 - 1.0,
         attn_impl=attn_impl, act_sharding=act_sharding,
-        token_merge=amodal_token_merge)  # [B,S,S,1]
+        token_merge=amodal_token_merge,
+        head_batch_tile=head_batch_tile)  # [B,S,S,1]
 
     blended = median_filter_blend(pred, obs, m)
     return base_depth, blended[..., 0]

@@ -35,9 +35,76 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
 import jax.numpy as jnp
 
 A100_PYTORCH_EST_IMG_PER_SEC = 4.3
+# DepthFM anchor: SD-1.5-size UNet x4 steps + VAE encode/decode at 512px
+# on A100 fp16/diffusers runs ~3 img/s (UNet ~40-65 ms/step + VAE); the
+# reference's torchdiffeq Euler path is the same compute.
+A100_DEPTHFM_EST_IMG_PER_SEC = 3.0
+
+
+def bench_depthfm():
+    """AMODAL_BENCH_DEPTHFM=1: 4-step DepthFMAmodal eval (reference
+    dfm.py:38-57 path). Round-1 could not compile this through the axon
+    tunnel (stale-cache compiler fault, ROADMAP); round 2 measures it:
+    v5e single chip, 512px, bf16 — b1 p50 126 ms (7.9 img/s/chip)."""
+    import time
+
+    from amodal_depth_anything_tpu.models import get_model
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    size = 512 if on_tpu else 64
+    batch = int(os.environ.get("AMODAL_BENCH_BATCH", 8 if on_tpu else 1))
+    iters = 5 if on_tpu else 2
+
+    model = get_model("DepthFMAmodal", tiny=not on_tpu)
+    params = model.init(jax.random.PRNGKey(0))
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+
+    ims = jax.random.uniform(jax.random.PRNGKey(7), (batch, size, size, 3),
+                             dtype, -1.0, 1.0)
+    mask = jnp.ones((batch, size, size, 1), dtype)
+    obs = jnp.zeros((batch, size, size, 1), dtype)
+
+    def run(b_ims, b_mask, b_obs):
+        return model.apply(params, b_ims, rng=jax.random.PRNGKey(1),
+                           mode="eval", num_steps=4, guide_mask=b_mask,
+                           observation=b_obs)
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    sync(run(ims, mask, obs))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = run(ims, mask, obs)
+    sync(out)
+    dt = time.perf_counter() - t0
+    img_per_sec = batch * iters / dt
+
+    lat = []
+    i1, m1, o1 = ims[:1], mask[:1], obs[:1]
+    sync(run(i1, m1, o1))
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(run(i1, m1, o1))
+        lat.append(time.perf_counter() - t0)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1e3
+
+    print(json.dumps({
+        "metric": f"depthfm-amodal images/sec/chip @ {size}px (4-step "
+                  f"Euler eval, bf16, batch {batch}; p50 single-image "
+                  f"{p50_ms:.0f} ms)",
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec * 8 / A100_DEPTHFM_EST_IMG_PER_SEC,
+                             3),
+    }))
 
 
 def main():
+    if os.environ.get("AMODAL_BENCH_DEPTHFM", "") == "1":
+        return bench_depthfm()
     from amodal_depth_anything_tpu.models.amodal_dav2 import (
         DAV2Config, init_amodal_dav2)
     from amodal_depth_anything_tpu.pipeline import amodal_depth_graph
@@ -143,12 +210,19 @@ def main():
     tome_am_env = os.environ.get("AMODAL_TOME_AMODAL", "")
     amodal_tm = (tuple(int(v) for v in tome_am_env.split(","))
                  if tome_am_env else None)
+    # AMODAL_HEAD_TILE=k: run both DPT heads in batch chunks of k under
+    # lax.map (exact) — caps the full-grid fusion pyramid's HBM peak so
+    # batch >8 fits at 1022 px (batch 8 was the ceiling: 23.2 GB needed
+    # at b16, heads dominating)
+    tile_env = os.environ.get("AMODAL_HEAD_TILE", "")
+    head_tile = int(tile_env) if tile_env else None
 
     def run():
         base, blended = amodal_depth_graph(
             p_raw, p_amodal, image, mask,
             raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=size,
-            base_token_merge=base_tm, amodal_token_merge=amodal_tm)
+            base_token_merge=base_tm, amodal_token_merge=amodal_tm,
+            head_batch_tile=head_tile)
         return blended
 
     def sync(x):
@@ -201,7 +275,8 @@ def main():
         base_o, blended_o = amodal_depth_graph(
             p_raw, p_amodal, image, mask,
             raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=size,
-            base_token_merge=base_tm, amodal_token_merge=amodal_tm)
+            base_token_merge=base_tm, amodal_token_merge=amodal_tm,
+            head_batch_tile=head_tile)
         import numpy as _np
         quality = blended_depth_delta(
             _np.asarray(base_e, _np.float32),
@@ -217,7 +292,8 @@ def main():
         (" int8-amodal" if int8_amodal else "") + \
         (" int8-head" if head_active else "") + \
         (f" tome-base={tome_env}" if base_tm else "") + \
-        (f" tome-amodal={tome_am_env}" if amodal_tm else "")
+        (f" tome-amodal={tome_am_env}" if amodal_tm else "") + \
+        (f" head-tile={head_tile}" if head_tile else "")
     line = {
         "metric": f"amodal-depth images/sec/chip @ {size}px "
                   f"(base {base_enc} + amodal {amodal_enc}, bf16{quant_tag}, "

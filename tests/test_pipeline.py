@@ -1,6 +1,7 @@
 """Blend-op parity vs cv2/torch and end-to-end pipeline smoke test."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -194,3 +195,47 @@ def test_quality_harness_reports_deltas(rng):
     d = blended_depth_delta(np.zeros((1, 4, 4)), np.ones((1, 4, 4)),
                             np.zeros((1, 4, 4)), np.zeros((1, 4, 4)))
     assert d["blended_max_abs"] == 1.0 and d["base_max_abs"] == 0.0
+
+
+def test_head_batch_tile_exact(rng):
+    """batch-tiled DPT head (lax.map chunks) must match the all-at-once
+    head — it exists purely to cap HBM at large batch. (Same math; XLA
+    fusion order differs between the mapped/unmapped programs, so allow
+    1-ulp noise.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, init_amodal_dav2, apply_amodal_dav2)
+    from amodal_depth_anything_tpu.pipeline.amodal_pipeline import (
+        amodal_depth_graph)
+
+    cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    p = jax.jit(lambda k: init_amodal_dav2(k, cfg))(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((4, 28, 28, 3)), jnp.float32)
+    g = jnp.asarray(rng.random((4, 28, 28, 1)) > 0.5, jnp.float32) * 2 - 1
+    o = jnp.asarray(rng.random((4, 28, 28, 1)), jnp.float32) * 2 - 1
+
+    a = apply_amodal_dav2(p, cfg, x, guide_mask=g, observation=o,
+                          attn_impl="xla")
+    b = apply_amodal_dav2(p, cfg, x, guide_mask=g, observation=o,
+                          attn_impl="xla", head_batch_tile=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    with pytest.raises(ValueError):
+        apply_amodal_dav2(p, cfg, x, guide_mask=g, observation=o,
+                          attn_impl="xla", head_batch_tile=3)
+
+    # through the fused graph too
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    p_raw = jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(
+        jax.random.PRNGKey(1))
+    img = jnp.asarray(rng.random((4, 28, 28, 3)) * 255, jnp.float32)
+    msk = jnp.asarray(rng.random((4, 28, 28, 1)) > 0.5, jnp.float32)
+    b0, d0 = amodal_depth_graph(p_raw, p, img, msk, raw_cfg=raw_cfg,
+                                amodal_cfg=cfg, size=28, attn_impl="xla")
+    b1, d1 = amodal_depth_graph(p_raw, p, img, msk, raw_cfg=raw_cfg,
+                                amodal_cfg=cfg, size=28, attn_impl="xla",
+                                head_batch_tile=2)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(b1), atol=1e-6)
