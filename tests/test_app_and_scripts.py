@@ -157,3 +157,59 @@ def test_pix2gestalt_eval_single(tmp_path):
     comb = np.asarray(Image.open(out / "combined_depth.png"))
     assert pred.dtype == np.uint16 and pred.shape == (32, 32)
     assert comb.dtype == np.uint16 and comb.shape == (32, 32)
+
+
+def test_pix2gestalt_inpainting_baseline(tmp_path):
+    """Batch inpainting baseline (reference pix2gestalt_inpainting.py):
+    p2g completion -> matting -> DAV2 depth -> align -> bucketed metrics,
+    writing the four per-sample output dirs precomputed_eval consumes."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.heuristics.mask_heuristics import \
+        MaskHeuristics
+    from amodal_depth_anything_tpu.scripts import pix2gestalt_inpainting
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    for d in ("occlusion", "visible_object_mask", "depth_da_update_combine"):
+        (data / d).mkdir(parents=True)
+    ids = ["0001", "0002"]
+    for sid in ids:
+        occ = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(occ).save(data / "occlusion" / f"{sid}_occlusion.png")
+        vis = np.zeros((48, 48), np.uint8)
+        vis[8:30, 8:24] = 255
+        Image.fromarray(vis).save(
+            data / "visible_object_mask" / f"{sid}_visible_mask.png")
+        d16 = (rng.random((48, 48)) * 60000).astype(np.uint16)
+        Image.fromarray(d16).save(
+            data / "depth_da_update_combine" / f"{sid}_depth.png")
+    split = tmp_path / "split.txt"
+    split.write_text("".join(f"sa_{sid}.jpg x\n" for sid in ids))
+
+    heuristics = MaskHeuristics.init_random(jax.random.PRNGKey(0), tiny=True)
+
+    @jax.jit
+    def dav2_apply(comp_u8):
+        # stand-in frozen depth model: luminance ramp, min-max normalized
+        x = jnp.asarray(comp_u8, jnp.float32)[None] / 255.0
+        d = x.mean(-1)
+        return (d - d.min()) / jnp.maximum(d.max() - d.min(), 1e-8)
+
+    args = argparse.Namespace(
+        data_dir=str(data), split=str(split), output_dir=str(tmp_path / "o"),
+        metrics=["rmse_linear", "delta1_acc"], limit=0)
+    banks, n = pix2gestalt_inpainting.run(args, heuristics, dav2_apply)
+    assert n == 2
+    assert np.isfinite(banks["align_overall"].avg("rmse_linear"))
+    for d in ("amodal_inpainting", "amodal_mask", "amodal_depth",
+              "amodal_aligned_depth"):
+        files = list((tmp_path / "o" / d).iterdir())
+        assert len(files) == 2, d
+    m = np.asarray(Image.open(
+        tmp_path / "o" / "amodal_mask" / "0001_amodal_mask.png"))
+    assert m.dtype == np.uint16 and m.shape == (518, 518)
