@@ -154,7 +154,14 @@ def _attn(p, x):
     q = _lin(p["to_q"], y)[:, None]  # single head: [B, 1, N, C]
     k = _lin(p["to_k"], y)[:, None]
     v = _lin(p["to_v"], y)[:, None]
-    o = multi_head_attention(q, k, v, impl="xla")[:, 0]
+    # f32 attention ALWAYS: this single 64x64-token block is cheap, f32
+    # softmax is better numerics, and on the v5e toolchain the bf16
+    # batched (B>=2) lowering makes the backend fabricate a mixed-
+    # precision tpu.matmul Mosaic rejects ("Bad lhs type") — the round-1
+    # depthfm_generate compile failure, root-caused to exactly this op.
+    o = multi_head_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                             v.astype(jnp.float32), impl="xla")[:, 0]
+    o = o.astype(x.dtype)
     return x + _lin(p["to_out"], o).reshape(b, h, w, c)
 
 

@@ -44,8 +44,11 @@ A100_DEPTHFM_EST_IMG_PER_SEC = 3.0
 def bench_depthfm():
     """AMODAL_BENCH_DEPTHFM=1: 4-step DepthFMAmodal eval (reference
     dfm.py:38-57 path). Round-1 could not compile this through the axon
-    tunnel (stale-cache compiler fault, ROADMAP); round 2 measures it:
-    v5e single chip, 512px, bf16 — b1 p50 126 ms (7.9 img/s/chip)."""
+    tunnel (a bf16 batched VAE-attention lowering the backend turned
+    into a Mosaic-rejected matmul — fixed by f32 VAE attention, see
+    models/vae.py::_attn); round 2 measures it: v5e single chip, 512px,
+    bf16 — b1 p50 126 ms (7.9 img/s/chip), b8 610 ms/batch
+    (13.1 img/s/chip)."""
     import time
 
     from amodal_depth_anything_tpu.models import get_model
