@@ -163,8 +163,17 @@ def infer_dav2_config(sd: dict, *, raw: bool | None = None,
         depth = 1 + max(int(k[len(bp):].split(".")[0]) for k in sd
                         if k.startswith(bp))
         swiglu = any(".mlp.w12." in k or ".mlp.w3." in k for k in sd)
-        encoder = {(12, False): "vits", (24, False): "vitl",
-                   (40, True): "vitg", (4, False): "vitt"}[(depth, swiglu)]
+        by_arch = {(12, False): "vits", (24, False): "vitl",
+                   (40, True): "vitg", (4, False): "vitt"}
+        if (depth, swiglu) not in by_arch:
+            raise ValueError(
+                f"cannot infer encoder for nonstandard width {embed_dim} "
+                f"with depth {depth} / swiglu={swiglu}; construct a "
+                f"DAV2Config explicitly")
+        # NB depth-12 mlp maps to vits; a narrowed vitb (same depth/ffn)
+        # would need an explicit DAV2Config(encoder='vitb', embed_dim=...)
+        # because only the head-channel preset distinguishes them.
+        encoder = by_arch[(depth, swiglu)]
         width_override = embed_dim
     if raw is None:
         raw = not any("patch_embed_guidance" in k for k in sd)

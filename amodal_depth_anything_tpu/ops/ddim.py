@@ -48,14 +48,17 @@ def ddpm_velocity(alphas_cumprod, x0, noise, t):
 
 def ddim_sample(model_fn, rng, shape, *, num_steps: int = 50,
                 guidance_scale: float = 1.0, uncond_fn=None,
-                n_train_timesteps: int = 1000, dtype=jnp.float32):
+                n_train_timesteps: int = 1000, dtype=jnp.float32,
+                beta_start: float = 0.00085, beta_end: float = 0.012):
     """Sample latents by DDIM.
 
     model_fn(x, t) -> predicted noise eps; `t` is a [B] int32 array of
     diffusion timesteps. With guidance_scale>1, `uncond_fn(x, t)` supplies
     the unconditional prediction for classifier-free guidance.
+    `beta_start`/`beta_end` must match the training schedule (the
+    DepthFMTrainer exposes them as config keys).
     """
-    alphas = linear_alphas_cumprod(n_train_timesteps)
+    alphas = linear_alphas_cumprod(n_train_timesteps, beta_start, beta_end)
     # uniform "leading" timestep spacing, descending
     step = n_train_timesteps // num_steps
     ts = (jnp.arange(num_steps, dtype=jnp.int32) * step)[::-1]

@@ -109,6 +109,28 @@ def image2tensor_np(raw_image_bgr: np.ndarray, input_size: int = 518):
     return np.ascontiguousarray(image, np.float32)[None], (h, w)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _infer_image_jit(cfg, out_hw: tuple[int, int], attn_impl, dtype):
+    """One cached jit program per (cfg, output size, impl, dtype) bucket —
+    repeated same-shape calls must NOT re-trace (compiles cost minutes on
+    this box)."""
+    from ..models.amodal_dav2 import apply_raw_dav2
+    from ..ops.resize import resize2d
+
+    @jax.jit
+    def run(params, x):
+        depth = apply_raw_dav2(params, cfg, x.astype(dtype),
+                               attn_impl=attn_impl)
+        depth = resize2d(depth[..., None].astype(jnp.float32), size=out_hw,
+                         method="bilinear", align_corners=True)
+        return depth[0, :, :, 0]
+
+    return run
+
+
 def infer_image(params, cfg, raw_image_bgr: np.ndarray,
                 input_size: int = 518, *, attn_impl: str | None = None,
                 dtype=jnp.float32) -> np.ndarray:
@@ -116,19 +138,8 @@ def infer_image(params, cfg, raw_image_bgr: np.ndarray,
     keep-aspect preprocess, raw forward, bilinear align_corners=True
     upsample back to the input's (h, w). Returns [h, w] float32.
 
-    One jit program per (H', W') shape bucket — same recompile behavior
-    the reference's dynamic shapes imply for XLA."""
-    from ..models.amodal_dav2 import apply_raw_dav2
-    from ..ops.resize import resize2d
-
+    One jit program per ((H', W'), (h, w)) shape bucket — same recompile
+    behavior the reference's dynamic shapes imply for XLA."""
     x, (h, w) = image2tensor_np(raw_image_bgr, input_size)
-
-    @jax.jit
-    def run(params, x):
-        depth = apply_raw_dav2(params, cfg, x.astype(dtype),
-                               attn_impl=attn_impl)
-        depth = resize2d(depth[..., None].astype(jnp.float32), size=(h, w),
-                         method="bilinear", align_corners=True)
-        return depth[0, :, :, 0]
-
+    run = _infer_image_jit(cfg, (h, w), attn_impl, jnp.dtype(dtype))
     return np.asarray(run(params, jnp.asarray(x)))

@@ -39,7 +39,7 @@ def build_parser():
     p.add_argument("--vae_ckpt")
     p.add_argument("--clip_ckpt")
     p.add_argument("--rmbg_ckpt", default=None)
-    p.add_argument("--dav2_ckpt", required=False)
+    p.add_argument("--dav2_ckpt", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--ddim_steps", type=int, default=200)
     p.add_argument("--size", type=int, default=266,

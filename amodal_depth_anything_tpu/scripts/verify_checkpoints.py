@@ -15,8 +15,11 @@ so the day the network-blocked checkpoints land, every ROADMAP
 
 Checks per artifact:
   * convert: converter runs, every leaf finite, param-count accounting
-    (torch numel vs our pytree numel).
-  * forward: jit forward smoke on a small input (finite output).
+    (torch numel vs our pytree numel; folded/partial converters report
+    counts without the equality assert).
+  * forward: jit forward smoke on a small input (finite output) — DAV2
+    models and the DepthFM UNet; the remaining converters are
+    round-trip-tested in tests/ and get convert-only rows here.
   * full-chain <1e-3 gate (needs --dav2_base AND --dav2_amodal and the
     reference checkout + torch): runs the reference's own
     `infer_single_image` with the REAL weights in a subprocess
@@ -281,17 +284,42 @@ def check_quality(report, args):
 
 
 def check_depthfm(report, path, skip_forward):
+    holder = {}
+
     def _convert():
         from ..convert.depthfm_convert import load_depthfm_ckpt
         cfg, params = load_depthfm_ckpt(path)
         assert _finite(params), "non-finite converted params"
+        holder["cfg"], holder["params"] = cfg, params
         return (f"unet {_numel(params) / 1e6:.1f}M, "
                 f"noising_step={cfg.noising_step}")
 
     _row(report, "depthfm_convert", _convert)
+    if skip_forward or "cfg" not in holder:
+        return
+
+    def _forward():
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.unet_ldm import apply_unet
+        cfg, params = holder["cfg"], holder["params"]
+        unet = jax.tree.map(jnp.asarray, params["unet"])
+        ucfg = cfg.unet
+        x = jnp.zeros((1, 16, 16, 4), jnp.float32)
+        ctx = jnp.zeros((1, 16, 16, ucfg.in_channels - 4), jnp.float32)
+        ca = jnp.asarray(params["empty_text_embed"], jnp.float32)
+        out = np.asarray(jax.jit(
+            lambda p, x, c, t: apply_unet(p, ucfg, x, jnp.ones((1,)),
+                                          context=c, context_ca=t)
+        )(unet, x, ctx, ca))
+        assert np.isfinite(out).all(), "non-finite UNet output"
+        return f"unet fwd out[{','.join(map(str, out.shape))}] ok"
+
+    _row(report, "depthfm_unet_forward", _forward)
 
 
-def check_sam(report, path, skip_forward):
+def check_sam(report, path):
     def _convert():
         import torch
 
@@ -306,7 +334,7 @@ def check_sam(report, path, skip_forward):
     _row(report, "sam_convert", _convert)
 
 
-def check_pix2gestalt(report, path, skip_forward):
+def check_pix2gestalt(report, path):
     def _convert():
         import torch
 
@@ -321,7 +349,7 @@ def check_pix2gestalt(report, path, skip_forward):
     _row(report, "pix2gestalt_convert", _convert)
 
 
-def check_rmbg(report, path, skip_forward):
+def check_rmbg(report, path):
     def _convert():
         import torch
 
@@ -336,7 +364,7 @@ def check_rmbg(report, path, skip_forward):
     _row(report, "rmbg_convert", _convert)
 
 
-def check_invisible_stitch(report, path, skip_forward):
+def check_invisible_stitch(report, path):
     def _convert():
         import torch
 
@@ -380,13 +408,17 @@ def main(argv=None) -> int:
     else:
         report.add("full_chain_1e-3", "SKIP", "needs both dav2 ckpts")
 
-    for attr, fn in (("depthfm", check_depthfm), ("sam", check_sam),
+    if args.depthfm:
+        check_depthfm(report, args.depthfm, args.skip_forward)
+    else:
+        report.add("depthfm_convert", "SKIP", "--depthfm not given")
+    for attr, fn in (("sam", check_sam),
                      ("pix2gestalt", check_pix2gestalt),
                      ("rmbg", check_rmbg),
                      ("invisible_stitch", check_invisible_stitch)):
         path = getattr(args, attr)
         if path:
-            fn(report, path, args.skip_forward)
+            fn(report, path)
         else:
             report.add(f"{attr}_convert", "SKIP", f"--{attr} not given")
 

@@ -295,7 +295,9 @@ class DepthFMTrainer(DepthFMAmodalTrainer):
 
             z = ddim_sample(eps_fn, jax.random.PRNGKey(base_seed),
                             rgb_latent.shape, num_steps=num_steps,
-                            n_train_timesteps=T, dtype=rgb_latent.dtype)
+                            n_train_timesteps=T, dtype=rgb_latent.dtype,
+                            beta_start=self.beta_start,
+                            beta_end=self.beta_end)
             decoded = vae_decode(params["vae"], z, mcfg.vae)
             depth = jnp.mean(decoded, axis=-1, keepdims=True)
             depth = depth.astype(jnp.float32)

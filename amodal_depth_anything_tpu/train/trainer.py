@@ -443,32 +443,42 @@ class DiscriminativeTrainer:
                                                    dev_batch)
             if eval:
                 # whole metric suite for the batch in ONE device program
-                # (pred/aligned stay on device; [B, n_metrics] comes back)
-                invisible = (batch["invisible_mask"] > 0) & \
-                    (batch[self.cfg.gt_mask_type] > 0)
+                # (pred/aligned stay on device; [B, n_metrics] comes back).
+                # Amodal batches score the invisible region; plain depth
+                # batches (no amodal keys — e.g. the DepthFMTrainer
+                # factory protocol) score the whole valid mask.
+                valid = batch[self.cfg.gt_mask_type] > 0
+                invisible = batch.get("invisible_mask")
+                mask = (invisible > 0) & valid if invisible is not None \
+                    else valid
                 m_raw, m_al = self._batch_metrics(
                     pred_d[..., 0], aligned_d[..., 0],
                     jnp.asarray(batch[self.cfg.gt_depth_type][..., 0]),
-                    jnp.asarray(invisible[..., 0]))
+                    jnp.asarray(mask[..., 0]))
                 m_raw, m_al = np.asarray(m_raw), np.asarray(m_al)
             pred = np.asarray(pred_d)
 
+            has_buckets = "guide" in batch and "visible_mask" in batch
             for b in range(pred.shape[0]):
                 mask_ok = batch.get("__sample_mask__")
                 if mask_ok is not None and not mask_ok[b]:
                     continue
-                guide = batch["guide"][b] > 0
-                visible = batch["visible_mask"][b] > 0
-
-                obj_px = float(guide.sum())
-                vis_ratio = float(visible.sum()) / max(obj_px, 1.0)
-                bucket = "easy" if vis_ratio > 0.75 else \
-                    "mid" if vis_ratio > 0.5 else "diff"
+                if has_buckets:
+                    guide = batch["guide"][b] > 0
+                    visible = batch["visible_mask"][b] > 0
+                    obj_px = float(guide.sum())
+                    vis_ratio = float(visible.sum()) / max(obj_px, 1.0)
+                    bucket = "easy" if vis_ratio > 0.75 else \
+                        "mid" if vis_ratio > 0.5 else "diff"
+                    raw_keys = ("overall", bucket)
+                    al_keys = ("align_overall", f"align_{bucket}")
+                else:
+                    raw_keys = ("overall",)
+                    al_keys = ("align_overall",)
 
                 if eval:
-                    self._track_sample(m_raw[b], names, ("overall", bucket))
-                    self._track_sample(m_al[b], names,
-                                       ("align_overall", f"align_{bucket}"))
+                    self._track_sample(m_raw[b], names, raw_keys)
+                    self._track_sample(m_al[b], names, al_keys)
 
                 if save_to_dir is not None:
                     self._save_prediction(save_to_dir, batch, b, pred[b])
@@ -564,7 +574,13 @@ class DiscriminativeTrainer:
                 "best_metric": 0.0, "in_evaluation": False,
             },
         }
-        tree = ckptr.restore(os.path.abspath(path), item=abstract)
+        try:
+            tree = ckptr.restore(os.path.abspath(path), item=abstract)
+        except ValueError:
+            # round-1 checkpoints carry a now-removed meta leaf (the dead
+            # seed-sequence counter); retry with the legacy template
+            abstract["meta"]["seed_sequence_remaining"] = 0
+            tree = ckptr.restore(os.path.abspath(path), item=abstract)
         self.state = TrainState(params=tree["params"],
                                 opt_state=tree["opt_state"],
                                 step=jnp.asarray(tree["step"]))

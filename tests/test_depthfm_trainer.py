@@ -162,3 +162,55 @@ def test_ddpm_trainer_cli_kwargs_wiring(tmp_path):
     assert kw["num_train_timesteps"] == 1000
     assert kw["multi_res_noise"]["annealed"] is True
     assert abs(kw["beta_start"] - 0.00085) < 1e-12
+
+
+def test_ddpm_trainer_plain_depth_validation(tmp_path):
+    """The factory's eval protocol (reference depthfm_trainer.py:544-560):
+    plain depth batches — no amodal keys — must validate through the
+    shared loop, aligning to GT over the valid mask, overall bank only."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.data import DataLoader
+    from amodal_depth_anything_tpu.data.base_depth_dataset import (
+        BaseDepthDataset, DatasetMode, DepthFileNameMode)
+
+    root = tmp_path / "plain"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(2):
+        rgb = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        d16 = (rng.random((32, 32)) * 60000 + 1000).astype(np.uint16)
+        Image.fromarray(rgb).save(root / f"img{i}.png")
+        Image.fromarray(d16).save(root / f"img{i}_depth.png")
+        lines.append(f"img{i}.png img{i}_depth.png")
+    (root / "list.txt").write_text("\n".join(lines) + "\n")
+
+    ds = BaseDepthDataset(mode=DatasetMode.EVAL,
+                          filename_ls_path=str(root / "list.txt"),
+                          dataset_dir=str(root),
+                          name_mode=DepthFileNameMode.id,
+                          min_depth=1.0, max_depth=70000.0,
+                          has_filled_depth=False)
+    loader = DataLoader(ds, batch_size=2, pad_last=True)
+
+    model = get_model("DepthFM", tiny=True)
+    mesh = make_mesh(MeshConfig(data=2, model=1), devices=jax.devices()[:2])
+    cfg = TrainerConfig(loss_strategy="entire_scene", loss_name="mse_loss",
+                        loss_kwargs={}, max_iter=1,
+                        gt_depth_type="depth_raw_linear",
+                        gt_mask_type="valid_mask_raw",
+                        validation_period=0, visualization_period=0,
+                        save_period=0, compute_dtype="float32", remat=False,
+                        attn_impl="xla",
+                        eval_metrics=("abs_relative_difference",))
+    trainer = DepthFMTrainer(cfg, model, train_loader=[],
+                             val_loaders=[loader], mesh=mesh)
+    res = trainer.validate_single_dataset(loader, eval=True)
+    val = res["align_overall"]["abs_relative_difference"]
+    assert np.isfinite(val)
+    # no amodal keys -> no difficulty buckets populated
+    assert np.isnan(res["align_easy"]["abs_relative_difference"])
