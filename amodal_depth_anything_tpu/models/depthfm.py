@@ -31,7 +31,8 @@ from .unet_ldm import UNetConfig, apply_unet, init_unet
 from .vae import SD_VAE, init_vae, vae_decode, vae_encode_mode
 
 __all__ = ["DepthFMConfig", "init_depthfm", "depthfm_train_outputs",
-           "depthfm_generate", "q_sample", "cosine_alpha_bar"]
+           "depthfm_generate", "depthfm_predict_depth", "q_sample",
+           "cosine_alpha_bar"]
 
 # guide latent channels: VAE latent (4) for image; 1 each for mask/obs
 GUIDE_LATENT_DIMS = {
@@ -192,3 +193,46 @@ def depthfm_generate(params: dict, cfg: DepthFMConfig, rng, ims, *,
     depth = jnp.mean(decoded, axis=-1, keepdims=True)
     depth = jnp.clip((depth + 1.0) / 2.0, 0.0, 1.0)
     return 1.0 - depth
+
+
+def depthfm_predict_depth(params: dict, cfg: DepthFMConfig, rng, ims, *,
+                          num_steps: int = 4, ensemble_size: int = 1,
+                          attn_impl=None):
+    """PLAIN DepthFM inference (reference `dfm.py:59-94` — the pseudo-
+    label factory's labeler, `sam_pl_gen.py:56-61`): batch-repeat
+    `ensemble_size` copies (each draws its own q_sample noise), Euler
+    solve, decode, channel-mean, ensemble-mean, then
+    per-sample min-max of exp(depth). ims: [1,H,W,3] in [-1,1] when
+    ensembling (reference asserts batch 1), else [B,H,W,3].
+
+    Returns [B,H,W,1] in [0,1] — NOTE: no 1-x flip (that is the amodal
+    eval convention, `dfm_amodal.py:261-262`)."""
+    if ensemble_size > 1:
+        assert ims.shape[0] == 1, "ensemble mode needs batch 1 (dfm.py:67)"
+        ims = jnp.repeat(ims, ensemble_size, axis=0)
+    rgb_latent = vae_encode_mode(params["vae"], ims, cfg.vae)
+    cond_latent = _guide_latents(params, cfg, rgb_latent, None, None, None)
+    conditioning = _conditioning(params, ims.shape[0], ims.dtype)
+    noise = jax.random.normal(rng, rgb_latent.shape, rgb_latent.dtype)
+    z = q_sample(rgb_latent, cfg.noising_step, noise,
+                 cfg.n_diffusion_timesteps)
+
+    dt = 1.0 / num_steps
+    ts = jnp.arange(num_steps, dtype=ims.dtype) * dt
+
+    def euler_step(z, t):
+        v = apply_unet(params["unet"], cfg.unet, z,
+                       jnp.full((ims.shape[0],), t, ims.dtype),
+                       context=cond_latent, context_ca=conditioning,
+                       attn_impl=attn_impl)
+        return z + dt * v, None
+
+    z, _ = jax.lax.scan(euler_step, z, ts)
+    decoded = vae_decode(params["vae"], z, cfg.vae)
+    depth = jnp.mean(decoded, axis=-1, keepdims=True)
+    if ensemble_size > 1:
+        depth = jnp.mean(depth, axis=0, keepdims=True)
+    depth = jnp.exp(depth.astype(jnp.float32))
+    lo = jnp.min(depth, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.max(depth, axis=(1, 2, 3), keepdims=True)
+    return (depth - lo) / jnp.maximum(hi - lo, 1e-8)

@@ -210,8 +210,12 @@ def main():
     int8_base = os.environ.get("AMODAL_INT8_BASE", "") == "1"
     int8_amodal = os.environ.get("AMODAL_INT8_AMODAL", "") == "1"
     int8_calib = os.environ.get("AMODAL_INT8_CALIB", "") == "1"
-    # exact (pre-optimization) params for the AMODAL_QUALITY=1 delta
-    p_raw_exact, p_amodal_exact = p_raw, p_amodal
+    quality_on = os.environ.get("AMODAL_QUALITY", "") == "1"
+    # exact (pre-optimization) params for the AMODAL_QUALITY=1 delta —
+    # snapshot ONLY when requested (holding the bf16 copies next to the
+    # int8 ones costs ~2.8 GB HBM and OOMed the b16 max stack)
+    p_raw_exact = p_raw if quality_on else None
+    p_amodal_exact = p_amodal if quality_on else None
     if int8_base or int8_amodal:
         # opt-in W8A8 serving path for the frozen trunks (ops/quant.py);
         # NOT the default: it trades the <1e-3 parity gate for speed.
@@ -333,7 +337,7 @@ def main():
     # number ships without its accuracy cost (pipeline/quality.py).
     quality = None
     optimized = int8_base or int8_amodal or base_tm or amodal_tm
-    if os.environ.get("AMODAL_QUALITY", "") == "1" and optimized:
+    if quality_on and optimized:
         from amodal_depth_anything_tpu.pipeline.quality import \
             blended_depth_delta
         base_e, blended_e = amodal_depth_graph(

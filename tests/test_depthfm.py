@@ -110,3 +110,81 @@ def test_depthfm_conv_in_zero_guidance_channels():
     assert w.shape[2] == 10  # 8 + mask + observation
     assert np.all(w[:, :, 8:, :] == 0)
     assert np.any(w[:, :, :8, :] != 0)
+
+
+def test_depthfm_predict_depth_plain(rng):
+    """Plain-DepthFM inference (reference dfm.py:59-94, the pseudo-label
+    factory's labeler): in-batch ensembling, channel+ensemble mean,
+    exp + per-sample min-max, NO 1-x flip."""
+    from amodal_depth_anything_tpu.models.depthfm import (
+        DepthFMConfig, depthfm_predict_depth, init_depthfm)
+
+    cfg = DepthFMConfig(guide_type="none", model_channels=16,
+                        channel_mult=(1, 2), num_heads=2, context_dim=16,
+                        vae_channels=(16, 32), vae_layers=1)
+    params = jax.jit(lambda k: init_depthfm(k, cfg))(jax.random.PRNGKey(0))
+    ims = jnp.asarray(rng.random((1, 32, 32, 3)) * 2 - 1, jnp.float32)
+
+    d1 = np.asarray(depthfm_predict_depth(params, cfg,
+                                          jax.random.PRNGKey(1), ims,
+                                          num_steps=2, attn_impl="xla"))
+    assert d1.shape == (1, 32, 32, 1)
+    assert d1.min() >= 0.0 and d1.max() <= 1.0
+    assert abs(d1.max() - 1.0) < 1e-5  # min-max normalized
+
+    d3 = np.asarray(depthfm_predict_depth(params, cfg,
+                                          jax.random.PRNGKey(1), ims,
+                                          num_steps=2, ensemble_size=3,
+                                          attn_impl="xla"))
+    assert d3.shape == (1, 32, 32, 1)
+    assert not np.allclose(d1, d3)  # ensembling changes the estimate
+
+    with pytest.raises(AssertionError):
+        depthfm_predict_depth(params, cfg, jax.random.PRNGKey(1),
+                              jnp.repeat(ims, 2, 0), ensemble_size=2,
+                              attn_impl="xla")
+
+
+def test_sam_pl_gen_depthfm_script(tmp_path, monkeypatch, rng):
+    """Factory script end-to-end with tiny models injected at the
+    converter seams: chunking, id derivation, uint16 label output."""
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.convert import depthfm_convert
+    from amodal_depth_anything_tpu.convert import torch_to_jax
+    from amodal_depth_anything_tpu.models.depthfm import (DepthFMConfig,
+                                                          init_depthfm)
+    from amodal_depth_anything_tpu.scripts import sam_pl_gen_depthfm
+
+    cfg = DepthFMConfig(guide_type="none", model_channels=16,
+                        channel_mult=(1, 2), num_heads=2, context_dim=16,
+                        vae_channels=(16, 32), vae_layers=1)
+    full = jax.jit(lambda k: init_depthfm(k, cfg))(jax.random.PRNGKey(0))
+
+    monkeypatch.setattr(
+        depthfm_convert, "load_depthfm_ckpt",
+        lambda path, guide_type="none": (cfg, {
+            "unet": full["unet"],
+            "empty_text_embed": full["empty_text_embed"]}))
+    monkeypatch.setattr(depthfm_convert, "convert_sd_vae",
+                        lambda sd, **kw: full["vae"])
+    monkeypatch.setattr(torch_to_jax, "load_state_dict", lambda p: {})
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for sid in ("11", "22", "33"):
+        im = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        Image.fromarray(im).save(img_dir / f"sa_{sid}.jpg")
+    (tmp_path / "split.txt").write_text("11\n22\n33\n")
+
+    out = tmp_path / "depth"
+    sam_pl_gen_depthfm.main([
+        "--image_dir", str(img_dir), "--split", str(tmp_path / "split.txt"),
+        "--ckpt", "fake.ckpt", "--vae_ckpt", "fake_vae.safetensors",
+        "--out_dir", str(out), "--num_steps", "2", "--ensemble", "2",
+        "--size", "32", "--dtype", "float32",
+        "--data_index", "1", "--num_chunks", "2"])
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["33_depth.png"]  # chunk 1 of 2 over 3 ids
+    d = np.asarray(Image.open(out / "33_depth.png"))
+    assert d.dtype == np.uint16 and d.shape == (32, 32)
