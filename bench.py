@@ -226,7 +226,10 @@ def main():
         from amodal_depth_anything_tpu.ops.quant import (
             calibrate_amodal_dav2, calibrate_dav2_head,
             quantize_dpt_head_int8, quantize_vit_trunk_int8)
-        rgb01 = image / 255.0
+        # calibrate on <=8 samples: the instrumented forward materializes
+        # big head activations and OOMed at b16 (the amax stats don't
+        # need the whole batch)
+        rgb01 = image[:min(8, batch)] / 255.0
         int8_head = os.environ.get("AMODAL_INT8_HEAD", "") == "1"
 
         def quantize(p, cfg, **guides):
@@ -267,10 +270,11 @@ def main():
         if int8_base:
             p_raw = quantize(p_raw, raw_cfg)
         if int8_amodal:
+            n_cal = rgb01.shape[0]
             p_amodal = quantize(
                 p_amodal, amodal_cfg,
-                guide_mask=mask * 2.0 - 1.0,
-                observation=obs * 2.0 - 1.0)
+                guide_mask=mask[:n_cal] * 2.0 - 1.0,
+                observation=obs[:n_cal] * 2.0 - 1.0)
 
     # Opt-in ToMe token merge for the frozen base trunk: "layer,r"
     # (e.g. AMODAL_TOME_BASE="9,2560" merges 2560 of 5330 tokens after
