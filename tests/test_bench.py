@@ -14,8 +14,9 @@ BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
 
 def _run(env_extra, timeout=900):
     env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                        " --xla_cpu_parallel_codegen_split_count=1").strip()
+    # REPLACE inherited XLA_FLAGS: the suite may force 8 virtual devices,
+    # and the bench's small CPU batches don't shard over data=8
+    env["XLA_FLAGS"] = "--xla_cpu_parallel_codegen_split_count=1"
     res = subprocess.run([sys.executable, BENCH], env=env,
                          capture_output=True, text=True, timeout=timeout)
     assert res.returncode == 0, res.stderr[-2000:]
