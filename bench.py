@@ -105,6 +105,59 @@ def bench_depthfm():
     }))
 
 
+def bench_heuristics():
+    """AMODAL_BENCH_HEURISTICS=1: the demo's model-heuristics hot path
+    (reference app.py:127-229) — SAM point-prompted visible mask +
+    pix2gestalt 100-step DDIM completion — on real hardware with random
+    full-size weights. Reports completions/sec (the DDIM loop dominates;
+    SAM is one forward)."""
+    import time
+
+    import numpy as np
+
+    from amodal_depth_anything_tpu.heuristics.mask_heuristics import \
+        MaskHeuristics
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    ddim_steps = int(os.environ.get("AMODAL_BENCH_DDIM", 100 if on_tpu
+                                    else 2))
+    mh = MaskHeuristics.init_random(jax.random.PRNGKey(0),
+                                    tiny=not on_tpu)
+    import dataclasses
+    mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=ddim_steps)
+
+    rng = np.random.default_rng(0)
+    hw = 1024 if on_tpu else 64
+    image = (rng.random((hw, hw, 3)) * 255).astype(np.uint8)
+    points = np.asarray([[hw // 2, hw // 2], [hw // 3, hw // 3]], np.float32)
+
+    t0 = time.perf_counter()
+    visible = mh.sam_visible_mask(image, points)
+    sam_first_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    completion = mh.pix2gestalt_completion(image, visible)
+    p2g_first_s = time.perf_counter() - t0
+    assert np.isfinite(completion).all()
+
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        visible = mh.sam_visible_mask(image, points)
+        completion = mh.pix2gestalt_completion(image, visible)
+        float(completion.sum())
+        lat.append(time.perf_counter() - t0)
+    p50 = sorted(lat)[1]
+
+    print(json.dumps({
+        "metric": f"heuristics completions/sec (SAM vit-h @ {hw}px + "
+                  f"pix2gestalt {ddim_steps}-step DDIM; first-call compile "
+                  f"sam {sam_first_s:.0f}s p2g {p2g_first_s:.0f}s)",
+        "value": round(1.0 / p50, 3),
+        "unit": "completions/sec/chip",
+        "vs_baseline": round(p50, 3),  # p50 seconds per completion
+    }))
+
+
 def bench_train():
     """AMODAL_BENCH_TRAIN=1: jitted discriminative train step (fwd +
     loss-strategy masking + bwd + clip + Adam, donated state) at the
@@ -172,6 +225,8 @@ def main():
         return bench_depthfm()
     if os.environ.get("AMODAL_BENCH_TRAIN", "") == "1":
         return bench_train()
+    if os.environ.get("AMODAL_BENCH_HEURISTICS", "") == "1":
+        return bench_heuristics()
     from amodal_depth_anything_tpu.models.amodal_dav2 import (
         DAV2Config, init_amodal_dav2)
     from amodal_depth_anything_tpu.pipeline import amodal_depth_graph

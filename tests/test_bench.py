@@ -48,3 +48,8 @@ def test_bench_depthfm_mode():
 def test_bench_train_mode():
     out = _run({"AMODAL_BENCH_TRAIN": "1"})
     assert out["unit"] == "ms/step"
+
+
+def test_bench_heuristics_mode():
+    out = _run({"AMODAL_BENCH_HEURISTICS": "1"}, timeout=1200)
+    assert "completions/sec" in out["unit"]
