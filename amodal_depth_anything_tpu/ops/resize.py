@@ -131,6 +131,17 @@ def resize_nearest(x: jax.Array, size=None, scale_factor=None, *,
     wo = _output_size(wi, ow_, sw)
     if (ho, wo) == (hi, wi):
         return x
+    if ho % hi == 0 and wo % wi == 0:
+        # integer upscale: BOTH nearest modes reduce to k-fold pixel
+        # repetition (floor((d[+.5]) * in/out) == d // k), and
+        # jnp.repeat lowers to broadcast+reshape — bandwidth-optimal
+        # where the gather pair is not (the VAE decoder's 2x upsamplers
+        # at 512px are on the serving path)
+        if ho != hi:
+            x = jnp.repeat(x, ho // hi, axis=-3)
+        if wo != wi:
+            x = jnp.repeat(x, wo // wi, axis=-2)
+        return x
     rows = jnp.asarray(_nearest_indices(hi, ho, sh, exact))
     cols = jnp.asarray(_nearest_indices(wi, wo, sw, exact))
     x = jnp.take(x, rows, axis=-3)

@@ -74,3 +74,28 @@ def test_degenerate_single_pixel(rng):
     x = rng.standard_normal((1, 1, 1, 4), dtype=np.float32)
     out = np.asarray(resize2d(x, size=(7, 7), method="bilinear", align_corners=True))
     np.testing.assert_allclose(out, np.broadcast_to(x, (1, 7, 7, 4)), rtol=1e-6)
+
+
+def test_nearest_integer_upscale_repeat_fast_path(rng):
+    """Integer upscales take the broadcast-reshape path; it must equal
+    the generic gather indices for both nearest modes."""
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.ops.resize import (_nearest_indices,
+                                                      resize_nearest)
+
+    x = rng.random((2, 7, 5, 3)).astype(np.float32)
+    for k in (2, 3, 4):
+        for exact in (False, True):
+            got = np.asarray(resize_nearest(jnp.asarray(x),
+                                            size=(7 * k, 5 * k),
+                                            exact=exact))
+            rows = _nearest_indices(7, 7 * k, None, exact)
+            cols = _nearest_indices(5, 5 * k, None, exact)
+            want = x[:, rows][:, :, cols]
+            np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
+    # mixed: one axis integer, one not -> generic path still correct
+    got = np.asarray(resize_nearest(jnp.asarray(x), size=(14, 8)))
+    rows = _nearest_indices(7, 14, None, False)
+    cols = _nearest_indices(5, 8, None, False)
+    np.testing.assert_array_equal(got, x[:, rows][:, :, cols])
