@@ -43,6 +43,10 @@ except ImportError:  # pragma: no cover
 __all__ = ["mha", "mha_reference", "pad_seq_len"]
 
 NEG_INF = -1e30  # avoid inf-inf NaNs on padded rows
+# exp lowers to exp2(x * log2e); folding log2e into the QK scale removes
+# one full VPU multiply pass over the [block, N] score tile per program
+# (the softmax VPU time is the kernel's non-MXU residual).
+LOG2E = 1.4426950408889634
 
 
 def _round_up(x: int, m: int) -> int:
@@ -89,19 +93,20 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *lse_rest, sm_scale: float,
     # lse_rest: optional ([block_q, 128] lane-padded lse ref; column 0
     # meaningful) — only materialized when the backward pass needs it
     # (writing it costs ~15% of the forward at 5330 tokens).
-    q = q_ref[...].astype(jnp.float32) * sm_scale
+    q = q_ref[...].astype(jnp.float32) * (sm_scale * LOG2E)
     k = k_ref[...].astype(jnp.float32)
-    s = _dot(q, k, ((1,), (1,)), precision)  # [block_q, Nk_pad]
+    s = _dot(q, k, ((1,), (1,)), precision)  # [block_q, Nk_pad], log2 domain
     nk_pad = k_ref.shape[0]
     if kv_len < nk_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)  # == exp(s_nat - m_nat); denom unchanged
     denom = jnp.sum(p, axis=-1, keepdims=True)
     if lse_rest:
         (lse_ref,) = lse_rest
-        lse = m + jnp.log(denom)
+        # natural-log lse for the backward kernels: m is in log2 units
+        lse = m * (1.0 / LOG2E) + jnp.log(denom)
         lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape).astype(jnp.float32)
     p = _maybe_lo(p, v_ref.dtype)
     v = v_ref[...] if v_ref.dtype == jnp.bfloat16 else \
@@ -160,14 +165,14 @@ def _mha_fwd_pallas(q, k, v, *, sm_scale: float, block_q: int,
 def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref,
                         *, sm_scale: float, kv_len: int, precision):
     # blocked over q: q/do/lse/dd blocks, K/V resident
-    q = q_ref[...].astype(jnp.float32) * sm_scale
+    q = q_ref[...].astype(jnp.float32) * (sm_scale * LOG2E)
     k = k_ref[...].astype(jnp.float32)
-    s = _dot(q, k, ((1,), (1,)), precision)  # [bq, Nk_pad]
+    s = _dot(q, k, ((1,), (1,)), precision)  # [bq, Nk_pad], log2 domain
     nk_pad = k_ref.shape[0]
     if kv_len < nk_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[:, 0:1])
+    p = jnp.exp2(s - lse_ref[:, 0:1] * LOG2E)
     do = do_ref[...]
     dp = _dot(do.astype(jnp.float32) if do.dtype != jnp.bfloat16 else do,
               v_ref[...], ((1,), (1,)), precision)  # [bq, Nk_pad]
@@ -182,11 +187,11 @@ def _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
                          kv_len: int, block_k: int, precision):
     # blocked over k: k/v blocks, Q/dO/lse/dd resident
     k = k_ref[...].astype(jnp.float32)
-    q = q_ref[...].astype(jnp.float32) * sm_scale
-    st = _dot(k, q, ((1,), (1,)), precision)  # [bk, Nq_pad]
+    q = q_ref[...].astype(jnp.float32) * (sm_scale * LOG2E)
+    st = _dot(k, q, ((1,), (1,)), precision)  # [bk, Nq_pad], log2 domain
     nq_pad = q_ref.shape[0]
-    lse_row = lse_ref[:, 0]  # [Nq_pad]
-    pt = jnp.exp(st - lse_row[None, :])
+    lse_row = lse_ref[:, 0] * LOG2E  # [Nq_pad], to log2 units
+    pt = jnp.exp2(st - lse_row[None, :])
     if q_len < nq_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, pt.shape, dimension=1)
         pt = jnp.where(col < q_len, pt, 0.0)

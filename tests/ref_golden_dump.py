@@ -390,6 +390,17 @@ def dump_infer_chain(out_path):
     import os
     raw_ckpt = os.environ.get("GOLDEN_RAW_CKPT")
     amodal_ckpt = os.environ.get("GOLDEN_AMODAL_CKPT")
+    # GOLDEN_NARROW=1: run the chain at the RELEASED topology (vitg-40L
+    # swiglu base + vitl-24L amodal, the infer.py:59-66 pairing) at
+    # width 128 via the narrow factories — tap indices, swiglu ffn and
+    # both wrappers exercised through the full chain
+    narrow = os.environ.get("GOLDEN_NARROW", "") == "1"
+    if narrow:
+        import src.models.amodalsynthdrive.depth_anything_v2.dinov2 as gmod
+        import src.models.amodalsynthdrive.depth_anything_v2_raw.dinov2 \
+            as rmod
+        gmod.vit_large = _narrow_factory(gmod, 128, 4, 24)
+        rmod.vit_giant2 = _narrow_factory(rmod, 128, 4, 40)
 
     raw_presets = {"vits": (64, [48, 96, 192, 384]),
                    "vitb": (128, [96, 192, 384, 768]),
@@ -411,6 +422,17 @@ def dump_infer_chain(out_path):
                                     out_channels=ocs)
         # reference loads the base with strict=False (infer.py:61)
         model_raw.load_state_dict(sd, strict=False)
+    elif narrow:
+        # the released base's arch: vitg (features=384, [1536]*4,
+        # infer.py:60), narrow trunk width
+        model_raw = DepthAnythingV2(encoder="vitg", features=384,
+                                    out_channels=[1536, 1536, 1536, 1536])
+        _randomize(model_raw, SEED + 60)
+        with torch.no_grad():
+            for p in model_raw.parameters():
+                if p.ndim >= 2:
+                    fan_in = int(np.prod(p.shape[1:]))
+                    p.mul_(1.0 / (0.05 * (fan_in ** 0.5)))
     else:
         model_raw = DepthAnythingV2(encoder="vits", features=64,
                                     out_channels=[48, 96, 192, 384])
@@ -428,10 +450,21 @@ def dump_infer_chain(out_path):
                             pretrained=False)
         amodal.load_state_dict(sd, strict=True)
     else:
-        amodal = AmodalDAv2(encoder="vits", guide_type="mask+observation",
+        # released amodal arch is vitl (infer.py:66)
+        enc = "vitl" if narrow else "vits"
+        amodal = AmodalDAv2(encoder=enc, guide_type="mask+observation",
                             loss_stategy="entire_target_object",
                             pretrained=False)
-        _randomize(amodal, SEED + 51)
+        _randomize(amodal, SEED + 61 if narrow else SEED + 51)
+        if narrow:
+            # fan-scaled weights keep the deep narrow trunk's Lipschitz
+            # constant near trained-weight territory, so f32 rounding
+            # noise is not amplified past the 1e-3 gate
+            with torch.no_grad():
+                for p in amodal.parameters():
+                    if p.ndim >= 2:
+                        fan_in = int(np.prod(p.shape[1:]))
+                        p.mul_(1.0 / (0.05 * (fan_in ** 0.5)))
     amodal.eval()
 
     # predict_base_depth reads the module-global `model_raw` (infer.py:20)

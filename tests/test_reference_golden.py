@@ -30,10 +30,12 @@ pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
                                 reason="reference checkout not present")
 
 
-def _dump(model_key: str, tmp_path: pathlib.Path) -> dict:
+def _dump(model_key: str, tmp_path: pathlib.Path, env_extra=None) -> dict:
+    import os
     out = tmp_path / f"{model_key}.npz"
+    env = dict(os.environ, **(env_extra or {}))
     subprocess.run([sys.executable, str(DUMP_SCRIPT), model_key, str(out)],
-                   check=True, timeout=600)
+                   check=True, timeout=1800, env=env)
     return dict(np.load(out))
 
 
@@ -241,6 +243,41 @@ def test_reference_full_infer_chain(tmp_path):
         assert same > 0.99, f"{name} render: only {same:.4f} pixels equal"
     assert (tmp_path / "out" / "case1_raw_depth_rendered.png").exists()
     assert (tmp_path / "out" / "case1_amodal_depth_rendered.png").exists()
+
+
+def test_reference_full_infer_chain_released_topology(tmp_path):
+    """The full chain at the RELEASED pairing (infer.py:59-66): vitg
+    40-layer swiglu base (features=384, [1536]*4 head) + vitl 24-layer
+    amodal, narrow trunk width — tap indices, swiglu ffn and both
+    wrappers through preprocess -> forwards -> blend in one diff."""
+    import cv2
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.pipeline import AmodalDepthPipeline
+
+    data = _dump("infer_chain", tmp_path, env_extra={"GOLDEN_NARROW": "1"})
+    sd_raw = {k[6:]: v for k, v in data.items() if k.startswith("sdraw.")}
+    sd_am = {k[5:]: v for k, v in data.items() if k.startswith("sdam.")}
+    cfg_raw = infer_dav2_config(sd_raw)
+    assert cfg_raw.encoder == "vitg" and cfg_raw.raw
+    assert cfg_raw.embed_dim == 128 and cfg_raw.vit.ffn == "swiglufused"
+    cfg_am = infer_dav2_config(sd_am, loss_strategy="entire_target_object")
+    assert cfg_am.encoder == "vitl" and cfg_am.embed_dim == 128
+
+    pipe = AmodalDepthPipeline(convert_dav2(sd_raw, cfg_raw), cfg_raw,
+                               convert_dav2(sd_am, cfg_am), cfg_am,
+                               attn_impl="xla")
+    img_path = str(REFERENCE / "assets/inference_examples/case1.jpg")
+    mask_path = str(REFERENCE / "assets/inference_masks/case1_mask.png")
+    image = cv2.imread(img_path)
+    mask = (np.asarray(Image.open(mask_path)) > 0).astype(np.float32)
+    base, blended = pipe(image, mask,
+                         base_image=cv2.resize(image, (518, 518)))
+    assert data["blended_float"].std() > 1e-3, "flat golden"
+    base_diff = np.abs(base - data["base_float"]).max()
+    blend_diff = np.abs(blended - data["blended_float"]).max()
+    assert base_diff < 1e-3, f"base depth max diff {base_diff}"
+    assert blend_diff < 1e-3, f"blended depth max diff {blend_diff}"
 
 
 def test_reference_raw_dav2_vits(tmp_path):
