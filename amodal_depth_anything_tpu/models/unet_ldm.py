@@ -240,6 +240,9 @@ def group_norm(p, x, groups: int = 32, eps: float = 1e-5):
 
 
 def _lin(p, x):
+    if p["w"].dtype == jnp.int8:  # W8A8 serving (ops/quant.py)
+        from ..ops.quant import int8_linear
+        return int8_linear(p, x)
     y = jnp.dot(x, p["w"].astype(x.dtype), precision=dot_precision(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

@@ -134,6 +134,9 @@ def init_vae(key, cfg: VAEConfig = SD_VAE) -> dict:
 
 
 def _lin(p, x):
+    if p["w"].dtype == jnp.int8:  # W8A8 serving (ops/quant.py)
+        from ..ops.quant import int8_linear
+        return int8_linear(p, x)
     return jnp.dot(x, p["w"].astype(x.dtype),
                    precision=dot_precision(x.dtype)) + p["b"].astype(x.dtype)
 

@@ -62,6 +62,15 @@ def bench_depthfm():
     params = model.init(jax.random.PRNGKey(0))
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = jax.tree.map(lambda a: a.astype(dtype), params)
+    quant_tag = ""
+    if os.environ.get("AMODAL_INT8_DEPTHFM", "") == "1":
+        # W8A8 with dynamic activation scales over the UNet+VAE (wide
+        # convs/linears only; output convs stay high precision). Opt-in,
+        # parity-breaking — same policy as the trunk int8 ladder.
+        from amodal_depth_anything_tpu.ops.quant import \
+            quantize_diffusion_int8
+        params = quantize_diffusion_int8(params)
+        quant_tag = " int8"
 
     ims = jax.random.uniform(jax.random.PRNGKey(7), (batch, size, size, 3),
                              dtype, -1.0, 1.0)
@@ -96,8 +105,8 @@ def bench_depthfm():
 
     print(json.dumps({
         "metric": f"depthfm-amodal images/sec/chip @ {size}px (4-step "
-                  f"Euler eval, bf16, batch {batch}; p50 single-image "
-                  f"{p50_ms:.0f} ms)",
+                  f"Euler eval, bf16{quant_tag}, batch {batch}; p50 "
+                  f"single-image {p50_ms:.0f} ms)",
         "value": round(img_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec * 8 / A100_DEPTHFM_EST_IMG_PER_SEC,

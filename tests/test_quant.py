@@ -181,3 +181,44 @@ def test_quantized_head_forward_close(rng):
     assert np.isfinite(out).all()
     assert np.abs(out - ref).max() < 0.1, np.abs(out - ref).max()
     assert np.abs(out - ref).mean() < 0.02
+
+
+def test_quantize_diffusion_int8_tiny(rng):
+    """Dynamic-activation W8A8 over the DepthFM UNet+VAE tree: wide
+    convs/linears quantize, thin convs and output convs stay float, and
+    the 4-step eval output stays close to the f32 model."""
+    import jax
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.models.depthfm import (
+        DepthFMConfig, depthfm_generate, init_depthfm)
+    from amodal_depth_anything_tpu.ops.quant import quantize_diffusion_int8
+
+    cfg = DepthFMConfig(guide_type="mask+observation", model_channels=64,
+                        channel_mult=(1, 2), num_heads=2, context_dim=64,
+                        vae_channels=(32, 64), vae_layers=1)
+    params = jax.jit(lambda k: init_depthfm(k, cfg))(jax.random.PRNGKey(0))
+    # thresholds scaled down for the tiny dims
+    q = quantize_diffusion_int8(params, min_conv_fan=128, min_lin_dim=48)
+
+    # wide res-block conv quantized; UNet final conv and VAE decoder
+    # conv_out stay float; conv_in (thin) stays float
+    assert q["unet"]["input_blocks"]["1"]["0"]["conv1"]["w"].dtype == jnp.int8
+    assert q["unet"]["out"]["conv"]["w"].dtype != jnp.int8
+    assert q["vae"]["decoder"]["conv_out"]["w"].dtype != jnp.int8
+    assert q["unet"]["input_blocks"]["0"]["0"]["w"].dtype != jnp.int8
+    # VAE mid attention linears quantized (64x64 > 48)
+    assert q["vae"]["decoder"]["mid_block"]["attentions"]["0"]["to_q"][
+        "w"].dtype == jnp.int8
+
+    ims = jnp.asarray(rng.random((1, 32, 32, 3)) * 2 - 1, jnp.float32)
+    mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+    obs = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    ref = np.asarray(depthfm_generate(params, cfg, jax.random.PRNGKey(1),
+                                      ims, num_steps=2, guide_mask=mask,
+                                      observation=obs, attn_impl="xla"))
+    got = np.asarray(depthfm_generate(q, cfg, jax.random.PRNGKey(1),
+                                      ims, num_steps=2, guide_mask=mask,
+                                      observation=obs, attn_impl="xla"))
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).mean() < 0.08, np.abs(got - ref).mean()
