@@ -165,6 +165,29 @@ def depthfm_train_outputs(params: dict, cfg: DepthFMConfig, rng, ims, depth, *,
     return model_pred, target
 
 
+def _euler_depth(params, cfg: DepthFMConfig, rng, rgb_latent, cond_latent,
+                 conditioning, num_steps: int, dtype, attn_impl):
+    """q_sample -> fixed-step Euler ODE -> decode -> channel-mean depth
+    (shared by the amodal eval and the plain predict paths)."""
+    noise = jax.random.normal(rng, rgb_latent.shape, rgb_latent.dtype)
+    z = q_sample(rgb_latent, cfg.noising_step, noise,
+                 cfg.n_diffusion_timesteps)
+    dt = 1.0 / num_steps
+    ts = jnp.arange(num_steps, dtype=dtype) * dt
+    b = rgb_latent.shape[0]
+
+    def euler_step(z, t):
+        v = apply_unet(params["unet"], cfg.unet, z,
+                       jnp.full((b,), t, dtype),
+                       context=cond_latent, context_ca=conditioning,
+                       attn_impl=attn_impl)
+        return z + dt * v, None
+
+    z, _ = jax.lax.scan(euler_step, z, ts)
+    decoded = vae_decode(params["vae"], z, cfg.vae)
+    return jnp.mean(decoded, axis=-1, keepdims=True)
+
+
 def depthfm_generate(params: dict, cfg: DepthFMConfig, rng, ims, *,
                      num_steps: int = 4, guide_rgb=None, guide_mask=None,
                      observation=None, attn_impl=None):
@@ -174,23 +197,8 @@ def depthfm_generate(params: dict, cfg: DepthFMConfig, rng, ims, *,
     cond_latent = _guide_latents(params, cfg, rgb_latent, guide_rgb,
                                  guide_mask, observation)
     conditioning = _conditioning(params, ims.shape[0], ims.dtype)
-    noise = jax.random.normal(rng, rgb_latent.shape, rgb_latent.dtype)
-    z = q_sample(rgb_latent, cfg.noising_step, noise,
-                 cfg.n_diffusion_timesteps)
-
-    dt = 1.0 / num_steps
-    ts = jnp.arange(num_steps, dtype=ims.dtype) * dt
-
-    def euler_step(z, t):
-        v = apply_unet(params["unet"], cfg.unet, z,
-                       jnp.full((ims.shape[0],), t, ims.dtype),
-                       context=cond_latent, context_ca=conditioning,
-                       attn_impl=attn_impl)
-        return z + dt * v, None
-
-    z, _ = jax.lax.scan(euler_step, z, ts)
-    decoded = vae_decode(params["vae"], z, cfg.vae)
-    depth = jnp.mean(decoded, axis=-1, keepdims=True)
+    depth = _euler_depth(params, cfg, rng, rgb_latent, cond_latent,
+                         conditioning, num_steps, ims.dtype, attn_impl)
     depth = jnp.clip((depth + 1.0) / 2.0, 0.0, 1.0)
     return 1.0 - depth
 
@@ -207,29 +215,22 @@ def depthfm_predict_depth(params: dict, cfg: DepthFMConfig, rng, ims, *,
 
     Returns [B,H,W,1] in [0,1] — NOTE: no 1-x flip (that is the amodal
     eval convention, `dfm_amodal.py:261-262`)."""
+    assert cfg.guide_type == "none", \
+        "plain predict_depth is the unguided path (dfm.py); use " \
+        "depthfm_generate for guided configs"
+    rgb_latent = vae_encode_mode(params["vae"], ims, cfg.vae)
     if ensemble_size > 1:
         assert ims.shape[0] == 1, "ensemble mode needs batch 1 (dfm.py:67)"
-        ims = jnp.repeat(ims, ensemble_size, axis=0)
-    rgb_latent = vae_encode_mode(params["vae"], ims, cfg.vae)
+        # encode ONCE: vae_encode_mode is deterministic (posterior mean),
+        # so the reference's repeat-then-encode (dfm.py:68-72) does
+        # ensemble_size identical encoder passes; repeating the latent
+        # is numerically identical and skips them. Each ensemble member
+        # still draws its own q_sample noise.
+        rgb_latent = jnp.repeat(rgb_latent, ensemble_size, axis=0)
     cond_latent = _guide_latents(params, cfg, rgb_latent, None, None, None)
-    conditioning = _conditioning(params, ims.shape[0], ims.dtype)
-    noise = jax.random.normal(rng, rgb_latent.shape, rgb_latent.dtype)
-    z = q_sample(rgb_latent, cfg.noising_step, noise,
-                 cfg.n_diffusion_timesteps)
-
-    dt = 1.0 / num_steps
-    ts = jnp.arange(num_steps, dtype=ims.dtype) * dt
-
-    def euler_step(z, t):
-        v = apply_unet(params["unet"], cfg.unet, z,
-                       jnp.full((ims.shape[0],), t, ims.dtype),
-                       context=cond_latent, context_ca=conditioning,
-                       attn_impl=attn_impl)
-        return z + dt * v, None
-
-    z, _ = jax.lax.scan(euler_step, z, ts)
-    decoded = vae_decode(params["vae"], z, cfg.vae)
-    depth = jnp.mean(decoded, axis=-1, keepdims=True)
+    conditioning = _conditioning(params, rgb_latent.shape[0], ims.dtype)
+    depth = _euler_depth(params, cfg, rng, rgb_latent, cond_latent,
+                         conditioning, num_steps, ims.dtype, attn_impl)
     if ensemble_size > 1:
         depth = jnp.mean(depth, axis=0, keepdims=True)
     depth = jnp.exp(depth.astype(jnp.float32))

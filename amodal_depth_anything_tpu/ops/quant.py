@@ -446,9 +446,11 @@ def quantize_diffusion_int8(params: dict, *, min_conv_fan: int = 512,
             pstr = "/".join(path)
             if any(pstr.endswith(sfx) for sfx in skip_suffixes):
                 return tree
-            if getattr(w, "ndim", 0) == 4 and                     w.shape[0] * w.shape[1] * w.shape[2] >= min_conv_fan:
+            if getattr(w, "ndim", 0) == 4 and (
+                    w.shape[0] * w.shape[1] * w.shape[2] >= min_conv_fan):
                 return quantize_conv_int8(tree)
-            if getattr(w, "ndim", 0) == 2 and                     w.shape[0] >= min_lin_dim and w.shape[1] >= min_lin_dim:
+            if getattr(w, "ndim", 0) == 2 and (
+                    w.shape[0] >= min_lin_dim and w.shape[1] >= min_lin_dim):
                 return quantize_linear_int8(tree, None)
             return tree
         return {k: walk(v, path + (k,)) for k, v in tree.items()}

@@ -131,19 +131,26 @@ def resize_nearest(x: jax.Array, size=None, scale_factor=None, *,
     wo = _output_size(wi, ow_, sw)
     if (ho, wo) == (hi, wi):
         return x
+    rows_np = _nearest_indices(hi, ho, sh, exact)
+    cols_np = _nearest_indices(wi, wo, sw, exact)
+    # Integer-upscale fast path: when torch's f32 index arithmetic
+    # ACTUALLY reduces to k-fold pixel repetition (checked exactly at
+    # trace time — it usually does, but f32(1/k) rounding flips a floor
+    # for k in {41, 47, 55, 61, ...}, and explicit non-integral
+    # scale_factors are not repetition at all), jnp.repeat lowers to
+    # broadcast+reshape — bandwidth-optimal where the gather pair is not
+    # (the VAE decoder's 2x upsamplers at 512px are on the serving path).
     if ho % hi == 0 and wo % wi == 0:
-        # integer upscale: BOTH nearest modes reduce to k-fold pixel
-        # repetition (floor((d[+.5]) * in/out) == d // k), and
-        # jnp.repeat lowers to broadcast+reshape — bandwidth-optimal
-        # where the gather pair is not (the VAE decoder's 2x upsamplers
-        # at 512px are on the serving path)
-        if ho != hi:
-            x = jnp.repeat(x, ho // hi, axis=-3)
-        if wo != wi:
-            x = jnp.repeat(x, wo // wi, axis=-2)
-        return x
-    rows = jnp.asarray(_nearest_indices(hi, ho, sh, exact))
-    cols = jnp.asarray(_nearest_indices(wi, wo, sw, exact))
+        kh, kw = ho // hi, wo // wi
+        if (rows_np == np.arange(ho) // kh).all() and \
+                (cols_np == np.arange(wo) // kw).all():
+            if kh > 1:
+                x = jnp.repeat(x, kh, axis=-3)
+            if kw > 1:
+                x = jnp.repeat(x, kw, axis=-2)
+            return x
+    rows = jnp.asarray(rows_np)
+    cols = jnp.asarray(cols_np)
     x = jnp.take(x, rows, axis=-3)
     x = jnp.take(x, cols, axis=-2)
     return x

@@ -69,7 +69,9 @@ def bench_depthfm():
         # parity-breaking — same policy as the trunk int8 ladder.
         from amodal_depth_anything_tpu.ops.quant import \
             quantize_diffusion_int8
-        params = quantize_diffusion_int8(params)
+        # jit the tree walk: eagerly it is several hundred one-at-a-time
+        # op dispatches (~0.8 s/op through the tunnel)
+        params = jax.jit(quantize_diffusion_int8)(params)
         quant_tag = " int8"
 
     ims = jax.random.uniform(jax.random.PRNGKey(7), (batch, size, size, 3),

@@ -99,3 +99,17 @@ def test_nearest_integer_upscale_repeat_fast_path(rng):
     rows = _nearest_indices(7, 14, None, False)
     cols = _nearest_indices(5, 8, None, False)
     np.testing.assert_array_equal(got, x[:, rows][:, :, cols])
+    # adversarial k where f32(1/k) rounding breaks pure repetition
+    # (k=41/47/...): the trace-time check must fall back to the gather
+    x2 = rng.random((1, 2, 2, 1)).astype(np.float32)
+    for k in (41, 47, 55):
+        got = np.asarray(resize_nearest(jnp.asarray(x2), size=(2 * k, 2 * k)))
+        rows = _nearest_indices(2, 2 * k, None, False)
+        cols = _nearest_indices(2, 2 * k, None, False)
+        np.testing.assert_array_equal(got, x2[:, rows][:, :, cols],
+                                      err_msg=f"k={k}")
+    # explicit non-integral scale_factor never repeats
+    got = np.asarray(resize_nearest(jnp.asarray(x2), scale_factor=2.05))
+    rows = _nearest_indices(2, 4, 2.05, False)
+    cols = _nearest_indices(2, 4, 2.05, False)
+    np.testing.assert_array_equal(got, x2[:, rows][:, :, cols])
