@@ -71,6 +71,8 @@ def bench_depthfm():
             quantize_diffusion_int8
         # jit the tree walk: eagerly it is several hundred one-at-a-time
         # op dispatches (~0.8 s/op through the tunnel)
+        params_exact = params if \
+            os.environ.get("AMODAL_QUALITY", "") == "1" else None
         params = jax.jit(quantize_diffusion_int8)(params)
         quant_tag = " int8"
 
@@ -79,33 +81,45 @@ def bench_depthfm():
     mask = jnp.ones((batch, size, size, 1), dtype)
     obs = jnp.zeros((batch, size, size, 1), dtype)
 
-    def run(b_ims, b_mask, b_obs):
-        return model.apply(params, b_ims, rng=jax.random.PRNGKey(1),
+    def run(p, b_ims, b_mask, b_obs):
+        return model.apply(p, b_ims, rng=jax.random.PRNGKey(1),
                            mode="eval", num_steps=4, guide_mask=b_mask,
                            observation=b_obs)
 
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))
 
-    sync(run(ims, mask, obs))
+    quality = None
+    if os.environ.get("AMODAL_QUALITY", "") == "1" and quant_tag:
+        # same ladder policy as the amodal pipeline: no optimized number
+        # without its accuracy cost next to it
+        import numpy as np
+        exact = np.asarray(run(params_exact, ims, mask, obs),
+                           np.float32)
+        optim = np.asarray(run(params, ims, mask, obs), np.float32)
+        d = np.abs(exact - optim)
+        quality = {"depth_max_abs": round(float(d.max()), 6),
+                   "depth_mean_abs": round(float(d.mean()), 6)}
+
+    sync(run(params, ims, mask, obs))
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
-        out = run(ims, mask, obs)
+        out = run(params, ims, mask, obs)
     sync(out)
     dt = time.perf_counter() - t0
     img_per_sec = batch * iters / dt
 
     lat = []
     i1, m1, o1 = ims[:1], mask[:1], obs[:1]
-    sync(run(i1, m1, o1))
+    sync(run(params, i1, m1, o1))
     for _ in range(5):
         t0 = time.perf_counter()
-        sync(run(i1, m1, o1))
+        sync(run(params, i1, m1, o1))
         lat.append(time.perf_counter() - t0)
     p50_ms = sorted(lat)[len(lat) // 2] * 1e3
 
-    print(json.dumps({
+    line = {
         "metric": f"depthfm-amodal images/sec/chip @ {size}px (4-step "
                   f"Euler eval, bf16{quant_tag}, batch {batch}; p50 "
                   f"single-image {p50_ms:.0f} ms)",
@@ -113,7 +127,10 @@ def bench_depthfm():
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec * 8 / A100_DEPTHFM_EST_IMG_PER_SEC,
                              3),
-    }))
+    }
+    if quality is not None:
+        line["quality_delta"] = quality
+    print(json.dumps(line))
 
 
 def bench_heuristics():
