@@ -177,42 +177,53 @@ def _stat_scale(amax: jax.Array, margin: float) -> jax.Array:
 
 def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA,
                             act_stats: dict | None = None,
-                            margin: float = 1.0) -> dict:
+                            margin: float = 1.0,
+                            dynamic: bool = False) -> dict:
     """Quantize the matmuls of a dinov2 param tree (returns a new tree;
     everything else is shared).
 
     `params` is the full model tree with `backbone.blocks.{norm1, attn.qkv,
     norm2, mlp.(fc1|w12)}` stacked [L, ...].
 
-    Without `act_stats`: calibration-free — only the LN-fed matmuls
-    (qkv + first FFN projection), activation scales bounded from the LN
-    affine params. With `act_stats` (from `collect_trunk_act_stats`):
-    data-driven per-layer scales for all FOUR matmul families, including
-    attn.proj and fc2/w3 whose inputs have no a-priori bound. `margin`
-    (>1 recommended when calibrating on few batches) widens the recorded
-    amax before scaling."""
+    Three activation-scale modes:
+      * default: calibration-free static — only the LN-fed matmuls
+        (qkv + first FFN projection), scales bounded from the LN affine
+        params.
+      * `act_stats` (from `collect_trunk_act_stats`): data-driven static
+        per-layer scales for all FOUR matmul families. `margin` widens
+        the recorded amax.
+      * `dynamic=True`: all four families with per-tensor amax computed
+        at RUN time (one VPU reduction per matmul, ~1% of trunk time at
+        serving shapes) — full int8 coverage with ZERO calibration
+        programs (the calibrated path costs ~2 extra large compiles,
+        ~65 min through this box's tunnel)."""
     params = dict(params)
     backbone = dict(params["backbone"])
     blocks = dict(backbone["blocks"])
 
-    s_qkv = (_stat_scale(act_stats["qkv_in"], margin) if act_stats
-             else _ln_act_scale(blocks["norm1"], sigma))   # [L]
+    if dynamic:
+        s_qkv = s_proj = s_ffn = s_last = None
+    else:
+        s_qkv = (_stat_scale(act_stats["qkv_in"], margin) if act_stats
+                 else _ln_act_scale(blocks["norm1"], sigma))   # [L]
+        s_proj = (_stat_scale(act_stats["proj_in"], margin)
+                  if act_stats else False)
+        s_ffn = (_stat_scale(act_stats["fc1_in"], margin) if act_stats
+                 else _ln_act_scale(blocks["norm2"], sigma))   # [L]
+        s_last = (_stat_scale(act_stats["fc2_in"], margin)
+                  if act_stats else False)
     attn = dict(blocks["attn"])
     attn["qkv"] = quantize_linear_int8(attn["qkv"], s_qkv)
-    if act_stats is not None:
-        attn["proj"] = quantize_linear_int8(
-            attn["proj"], _stat_scale(act_stats["proj_in"], margin))
+    if s_proj is not False:
+        attn["proj"] = quantize_linear_int8(attn["proj"], s_proj)
     blocks["attn"] = attn
 
-    s_ffn = (_stat_scale(act_stats["fc1_in"], margin) if act_stats
-             else _ln_act_scale(blocks["norm2"], sigma))   # [L]
     mlp = dict(blocks["mlp"])
     first = "fc1" if "fc1" in mlp else "w12"
     mlp[first] = quantize_linear_int8(mlp[first], s_ffn)
-    if act_stats is not None:
+    if s_last is not False:
         last = "fc2" if "fc2" in mlp else "w3"
-        mlp[last] = quantize_linear_int8(
-            mlp[last], _stat_scale(act_stats["fc2_in"], margin))
+        mlp[last] = quantize_linear_int8(mlp[last], s_last)
     blocks["mlp"] = mlp
 
     backbone["blocks"] = blocks

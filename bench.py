@@ -314,8 +314,26 @@ def main():
         # need the whole batch)
         rgb01 = image[:min(8, batch)] / 255.0
         int8_head = os.environ.get("AMODAL_INT8_HEAD", "") == "1"
+        import functools
+
+        int8_dynamic = os.environ.get("AMODAL_INT8_DYNAMIC", "") == "1"
 
         def quantize(p, cfg, **guides):
+            if int8_dynamic:
+                # all four matmul families + head convs with RUN-time
+                # per-tensor amax — full coverage, zero calibration
+                # programs (the calibrated path costs ~65 min of tunnel
+                # compiles)
+                p = quantize_vit_trunk_int8(p, dynamic=True)
+                if int8_head:
+                    from amodal_depth_anything_tpu.ops.quant import \
+                        quantize_diffusion_int8
+                    p = dict(p)
+                    p["depth_head"] = jax.jit(functools.partial(
+                        quantize_diffusion_int8,
+                        skip_suffixes=("output_conv2/conv2",)))(
+                            p["depth_head"])
+                return p
             if not int8_calib:
                 return quantize_vit_trunk_int8(p)
             stats = jax.jit(
@@ -334,7 +352,7 @@ def main():
             return p
 
         obs = jnp.zeros_like(mask)
-        if int8_amodal and int8_calib:
+        if int8_amodal and int8_calib and not int8_dynamic:
             # Serving-time observation: the amodal trunk sees the base
             # model's min-max-normalized depth scaled to [-1,1]
             # (amodal_depth_graph) — calibrate with that, not zeros, or
@@ -445,8 +463,12 @@ def main():
     # BASELINE.json north star is v5e-8 aggregate vs one A100: >=2x.
     v5e8_aggregate = img_per_sec * 8
     head_active = (os.environ.get("AMODAL_INT8_HEAD", "") == "1"
-                   and int8_calib and (int8_base or int8_amodal))
-    quant_tag = (" int8-base" if int8_base else "") + \
+                   and (int8_calib or
+                        os.environ.get("AMODAL_INT8_DYNAMIC", "") == "1")
+                   and (int8_base or int8_amodal))
+    dyn_tag = " dyn" if os.environ.get("AMODAL_INT8_DYNAMIC", "") == "1" \
+        and (int8_base or int8_amodal) else ""
+    quant_tag = dyn_tag + (" int8-base" if int8_base else "") + \
         (" int8-amodal" if int8_amodal else "") + \
         (" int8-head" if head_active else "") + \
         (f" tome-base={tome_env}" if base_tm else "") + \

@@ -222,3 +222,34 @@ def test_quantize_diffusion_int8_tiny(rng):
                                       observation=obs, attn_impl="xla"))
     assert np.isfinite(got).all()
     assert np.abs(got - ref).mean() < 0.08, np.abs(got - ref).mean()
+
+
+def test_quantize_trunk_dynamic(rng):
+    """dynamic=True quantizes all four matmul families with NO stored
+    act scales (run-time amax) and stays close to the float model."""
+    import jax
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, apply_amodal_dav2, init_amodal_dav2)
+    from amodal_depth_anything_tpu.ops.quant import quantize_vit_trunk_int8
+
+    cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    p = jax.jit(lambda k: init_amodal_dav2(k, cfg))(jax.random.PRNGKey(0))
+    q = quantize_vit_trunk_int8(p, dynamic=True)
+    blocks = q["backbone"]["blocks"]
+    for fam in (blocks["attn"]["qkv"], blocks["attn"]["proj"],
+                blocks["mlp"]["fc1"], blocks["mlp"]["fc2"]):
+        assert fam["w"].dtype == jnp.int8
+        assert "act_scale" not in fam  # dynamic at run time
+
+    x = jnp.asarray(rng.random((1, 28, 28, 3)), jnp.float32)
+    g = jnp.ones((1, 28, 28, 1), jnp.float32)
+    ref = np.asarray(apply_amodal_dav2(p, cfg, x, guide_mask=g,
+                                       observation=g * 0.5,
+                                       attn_impl="xla"))
+    got = np.asarray(apply_amodal_dav2(q, cfg, x, guide_mask=g,
+                                       observation=g * 0.5,
+                                       attn_impl="xla"))
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).mean() < 0.05, np.abs(got - ref).mean()
