@@ -131,7 +131,7 @@ class AmodalDepthPipeline:
 
     def quantize_int8(self, *, base: bool = True, amodal: bool = False,
                       head: bool = False, calibration=None,
-                      margin: float = 1.25) -> None:
+                      margin: float = 1.25, dynamic: bool = False) -> None:
         """Opt-in W8A8 int8 serving for the frozen models (ops/quant.py).
 
         Without `calibration`: calibration-free LN-bound scales on the
@@ -143,10 +143,37 @@ class AmodalDepthPipeline:
         b8 vs 3.11 img/s bf16: trunks 3.505 (p50 318 ms), + heads 3.662
         (p50 301 ms). Trades the <1e-3 reference-parity gate for speed —
         never default.
-        """
+
+        `dynamic=True`: full four-family (+head) coverage with RUN-time
+        per-tensor activation scales instead of calibration — measured
+        3.463 img/s (p50 311 ms) on v5e @1022 b8, ~5% below the
+        calibrated path but with ZERO calibration programs (the
+        calibrated path costs ~2 extra large compiles, ~65 min through a
+        tunneled TPU)."""
         from ..ops.quant import (calibrate_amodal_dav2, calibrate_dav2_head,
+                                 quantize_diffusion_int8,
                                  quantize_dpt_head_int8,
                                  quantize_vit_trunk_int8)
+
+        if dynamic:
+            if calibration is not None:
+                raise ValueError("dynamic=True needs no calibration")
+
+            def q(p):
+                p = quantize_vit_trunk_int8(p, dynamic=True)
+                if head:
+                    p = dict(p)
+                    p["depth_head"] = jax.jit(functools.partial(
+                        quantize_diffusion_int8,
+                        skip_suffixes=("output_conv2/conv2",)))(
+                            p["depth_head"])
+                return p
+
+            if base:
+                self.params_raw = q(self.params_raw)
+            if amodal:
+                self.params_amodal = q(self.params_amodal)
+            return
 
         if head and calibration is None:
             raise ValueError("head=True requires calibration=(image, mask)")

@@ -239,3 +239,44 @@ def test_head_batch_tile_exact(rng):
                                 head_batch_tile=2)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(b0), np.asarray(b1), atol=1e-6)
+
+
+def test_pipeline_quantize_int8_dynamic(rng):
+    """quantize_int8(dynamic=True): full coverage, zero calibration."""
+    import jax.numpy as jnp
+
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    amodal_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    params_raw = init_amodal_dav2(jax.random.PRNGKey(0), raw_cfg)
+    params_amodal = init_amodal_dav2(jax.random.PRNGKey(1), amodal_cfg)
+
+    img = (rng.random((80, 100, 3)) * 255).astype(np.float32)
+    mask = np.zeros((80, 100), np.float32)
+    mask[20:50, 30:70] = 1.0
+
+    ref_pipe = AmodalDepthPipeline(params_raw, raw_cfg, params_amodal,
+                                   amodal_cfg, size=56, attn_impl="xla")
+    base_ref, blend_ref = ref_pipe(img, mask)
+
+    q_pipe = AmodalDepthPipeline(params_raw, raw_cfg, params_amodal,
+                                 amodal_cfg, size=56, attn_impl="xla")
+    q_pipe.quantize_int8(base=True, amodal=True, head=True, dynamic=True)
+    for tree in (q_pipe.params_raw, q_pipe.params_amodal):
+        blocks = tree["backbone"]["blocks"]
+        for fam in (blocks["attn"]["qkv"], blocks["attn"]["proj"],
+                    blocks["mlp"]["fc1"], blocks["mlp"]["fc2"]):
+            assert fam["w"].dtype == jnp.int8
+            assert "act_scale" not in fam
+        # head convs: the dynamic walker keeps thin convs float — at
+        # vitt size EVERY head conv is under the production fan
+        # threshold (kh*kw*cin >= 512), so the head stays float here;
+        # the sigmoid-feeding final 1x1 stays float at any size
+        sc = tree["depth_head"]["scratch"]
+        assert sc["output_conv2"]["conv2"]["w"].dtype != jnp.int8
+
+    base_q, blend_q = q_pipe(img, mask)
+    assert np.isfinite(base_q).all() and np.isfinite(blend_q).all()
+    assert np.abs(blend_q - blend_ref).mean() < 0.05
+
+    with pytest.raises(ValueError):
+        q_pipe.quantize_int8(dynamic=True, calibration=(img, mask))
