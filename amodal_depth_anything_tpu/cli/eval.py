@@ -76,8 +76,10 @@ def main(argv=None) -> None:
     for item in items:
         ds = get_dataset(item, base_data_dir, DatasetMode.EVAL,
                          depth_transform=normalizer)
-        val_loaders.append(DataLoader(ds, batch_size=mesh.shape["data"],
-                                      pad_last=True))
+        val_loaders.append(DataLoader(
+            ds, batch_size=mesh.shape["data"], pad_last=True,
+            num_workers=int(
+                (cfg.get("dataloader") or {}).get("num_workers", 0) or 0)))
 
     tcfg = trainer_config_from_cfg(cfg, accumulation_steps=1)
     trainer_cls = get_trainer_cls(cfg.trainer.name)

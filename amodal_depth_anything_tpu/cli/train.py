@@ -180,16 +180,21 @@ def main(argv=None) -> None:
     seed = args.seed if args.seed is not None else int(
         cfg.get("dataloader").get("seed", 0) or 0)
 
+    # reference contract: cfg.dataloader.num_workers (train.py:247,253,270)
+    workers = int(cfg.dataloader.get("num_workers", 0) or 0)
+
     train_ds = get_dataset(cfg.dataset.train, base_data_dir, DatasetMode.TRAIN,
                            depth_transform=normalizer, seed=seed)
     if isinstance(train_ds, list):
         sampler = MixedBatchSampler(
             train_ds, batch_size=max_bs * n_data, drop_last=True,
             shuffle=True, prob=cfg.dataset.train.get("prob_ls"), seed=seed)
-        train_loader = DataLoader(ConcatDataset(train_ds), sampler=sampler)
+        train_loader = DataLoader(ConcatDataset(train_ds), sampler=sampler,
+                                  num_workers=workers)
     else:
         train_loader = DataLoader(train_ds, batch_size=max_bs * n_data,
-                                  shuffle=True, drop_last=True, seed=seed)
+                                  shuffle=True, drop_last=True, seed=seed,
+                                  num_workers=workers)
 
     val_loaders, vis_loaders = [], []
     for key, sink in (("val", val_loaders), ("vis", vis_loaders)):
@@ -200,7 +205,8 @@ def main(argv=None) -> None:
         for item in items:
             ds = get_dataset(item, base_data_dir, DatasetMode.EVAL,
                              depth_transform=normalizer)
-            sink.append(DataLoader(ds, batch_size=n_data, pad_last=True))
+            sink.append(DataLoader(ds, batch_size=n_data, pad_last=True,
+                                   num_workers=workers))
 
     model = get_model(cfg.model.name, **cfg.model.kwargs.to_dict())
     tcfg = trainer_config_from_cfg(cfg, accumulation_steps)

@@ -69,7 +69,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, *, shuffle: bool = False,
                  sampler=None, drop_last: bool = False, seed: int = 0,
-                 pad_last: bool = False, prefetch: int = 2):
+                 pad_last: bool = False, prefetch: int = 2,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -78,6 +79,12 @@ class DataLoader:
         self.seed = seed
         self.pad_last = pad_last
         self.prefetch = prefetch
+        # torch-DataLoader-style worker parallelism (reference trainers run
+        # num_workers>0). Threads, not processes: the hot per-sample work —
+        # native PNG/JPEG decode (ctypes releases the GIL) and the OpenMP
+        # preprocess kernels — runs concurrently on real cores; batch ORDER
+        # stays bit-identical to the serial loader (sequence-gated reorder).
+        self.num_workers = num_workers
         self.epoch = 0
         self.skip_batches = 0
 
@@ -125,8 +132,85 @@ class DataLoader:
         except BaseException as e:  # surface worker errors to the consumer
             q.put(e)
 
+    def _build_batch(self, idxs: list[int]) -> dict:
+        samples = [self.dataset[i] for i in idxs]
+        pad_to = self.batch_size if self.pad_last else None
+        return collate(samples, pad_to=pad_to)
+
+    def _iter_parallel(self, skip: int) -> Iterator[dict]:
+        """num_workers>1: parallel sample building, deterministic order.
+
+        Workers pull (seq, idxs) jobs FIFO and gate on
+        `seq < consumed + window` before building, so at most `window`
+        batches are in flight or built-unconsumed. The seqs below the
+        smallest unbuilt one are always contiguous in `results`, so the
+        consumer can always drain enough to reopen the gate — no deadlock
+        for any window >= 1. Output order is identical to the serial path.
+        """
+        jobs: "queue.Queue" = queue.Queue()
+        n_jobs = 0
+        for bi, idxs in enumerate(self._index_batches()):
+            if bi < skip:
+                continue
+            jobs.put((n_jobs, idxs))
+            n_jobs += 1
+        for _ in range(self.num_workers):
+            jobs.put(None)
+
+        window = max(self.prefetch, 1) + self.num_workers
+        cond = threading.Condition()
+        results: dict[int, dict] = {}
+        consumed = [0]
+        errors: list[BaseException] = []
+
+        def work() -> None:
+            while True:
+                job = jobs.get()
+                if job is None:
+                    return
+                seq, idxs = job
+                with cond:
+                    while seq >= consumed[0] + window and not errors:
+                        cond.wait()
+                    if errors:
+                        return
+                try:
+                    out = self._build_batch(idxs)
+                except BaseException as e:  # surface to the consumer
+                    with cond:
+                        errors.append(e)
+                        cond.notify_all()
+                    return
+                with cond:
+                    results[seq] = out
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=work, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for seq in range(n_jobs):
+                with cond:
+                    while seq not in results and not errors:
+                        cond.wait()
+                    if errors:
+                        raise errors[0]
+                    batch = results.pop(seq)
+                    consumed[0] += 1
+                    cond.notify_all()
+                yield batch
+        finally:
+            with cond:  # unblock gated workers if the consumer bails early
+                if not errors:
+                    errors.append(GeneratorExit())
+                cond.notify_all()
+
     def __iter__(self) -> Iterator[dict]:
         skip, self.skip_batches = self.skip_batches, 0
+        if self.num_workers > 1:
+            yield from self._iter_parallel(skip)
+            return
         q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         t = threading.Thread(target=self._produce, args=(q, skip), daemon=True)
         t.start()

@@ -122,3 +122,67 @@ def test_get_dataset_registry(sam_tree):
     ds = get_dataset(cfg, root, DatasetMode.EVAL)
     assert isinstance(ds, SAMAmodalDataset)
     assert len(ds) == 6
+
+
+class _JitterDS:
+    """Per-index sleep that scrambles worker completion order."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import time
+        time.sleep(0.02 if i % 3 == 0 else 0.001)
+        return {"x": np.full((2,), i, np.float32), "name": f"s{i}"}
+
+
+def test_parallel_loader_matches_serial():
+    """num_workers>1 (torch DataLoader worker parallelism, reference
+    train.py:247) must be bit-identical to the serial loader: same batch
+    order, same contents, resume included — even when per-sample latency
+    scrambles worker completion order."""
+    ds = _JitterDS(13)
+    kw = dict(batch_size=4, shuffle=True, seed=5, pad_last=True)
+    serial = list(DataLoader(ds, **kw))
+    par = list(DataLoader(ds, num_workers=4, **kw))
+    assert len(par) == len(serial) == 4
+    for a, b in zip(serial, par):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        assert a["name"] == b["name"]
+        np.testing.assert_array_equal(a["__sample_mask__"],
+                                      b["__sample_mask__"])
+
+    resumed = DataLoader(ds, num_workers=4, **kw)
+    resumed.skip_first_batches(2)
+    got = list(resumed)
+    assert len(got) == 2
+    for a, b in zip(serial[2:], got):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+
+def test_parallel_loader_propagates_worker_errors():
+    class Boom(_JitterDS):
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("boom at 5")
+            return super().__getitem__(i)
+
+    loader = DataLoader(Boom(8), batch_size=2, num_workers=3)
+    with pytest.raises(ValueError, match="boom at 5"):
+        list(loader)
+
+
+def test_parallel_loader_early_abandon_does_not_hang():
+    import threading
+    loader = DataLoader(_JitterDS(40), batch_size=2, num_workers=4,
+                        prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # consumer bails; gated workers must unblock
+    deadline = __import__("time").time() + 5.0
+    while __import__("time").time() < deadline:
+        if threading.active_count() <= 8:  # workers drained (daemon anyway)
+            break
