@@ -166,7 +166,7 @@ def depthfm_train_outputs(params: dict, cfg: DepthFMConfig, rng, ims, depth, *,
 
 
 def _euler_depth(params, cfg: DepthFMConfig, rng, rgb_latent, cond_latent,
-                 conditioning, num_steps: int, dtype, attn_impl):
+                 conditioning, num_steps: int, dtype, attn_impl, tome=None):
     """q_sample -> fixed-step Euler ODE -> decode -> channel-mean depth
     (shared by the amodal eval and the plain predict paths)."""
     noise = jax.random.normal(rng, rgb_latent.shape, rgb_latent.dtype)
@@ -180,7 +180,7 @@ def _euler_depth(params, cfg: DepthFMConfig, rng, rgb_latent, cond_latent,
         v = apply_unet(params["unet"], cfg.unet, z,
                        jnp.full((b,), t, dtype),
                        context=cond_latent, context_ca=conditioning,
-                       attn_impl=attn_impl)
+                       attn_impl=attn_impl, tome=tome)
         return z + dt * v, None
 
     z, _ = jax.lax.scan(euler_step, z, ts)
@@ -190,7 +190,7 @@ def _euler_depth(params, cfg: DepthFMConfig, rng, rgb_latent, cond_latent,
 
 def depthfm_generate(params: dict, cfg: DepthFMConfig, rng, ims, *,
                      num_steps: int = 4, guide_rgb=None, guide_mask=None,
-                     observation=None, attn_impl=None):
+                     observation=None, attn_impl=None, tome=None):
     """Euler ODE from noised rgb latent to depth latent; returns depth
     [B,H,W,1] in [0,1] (far = 0 after the 1-x flip, dfm_amodal.py:261-262)."""
     rgb_latent = vae_encode_mode(params["vae"], ims, cfg.vae)
@@ -198,14 +198,15 @@ def depthfm_generate(params: dict, cfg: DepthFMConfig, rng, ims, *,
                                  guide_mask, observation)
     conditioning = _conditioning(params, ims.shape[0], ims.dtype)
     depth = _euler_depth(params, cfg, rng, rgb_latent, cond_latent,
-                         conditioning, num_steps, ims.dtype, attn_impl)
+                         conditioning, num_steps, ims.dtype, attn_impl,
+                         tome=tome)
     depth = jnp.clip((depth + 1.0) / 2.0, 0.0, 1.0)
     return 1.0 - depth
 
 
 def depthfm_predict_depth(params: dict, cfg: DepthFMConfig, rng, ims, *,
                           num_steps: int = 4, ensemble_size: int = 1,
-                          attn_impl=None):
+                          attn_impl=None, tome=None):
     """PLAIN DepthFM inference (reference `dfm.py:59-94` — the pseudo-
     label factory's labeler, `sam_pl_gen.py:56-61`): batch-repeat
     `ensemble_size` copies (each draws its own q_sample noise), Euler
@@ -230,7 +231,8 @@ def depthfm_predict_depth(params: dict, cfg: DepthFMConfig, rng, ims, *,
     cond_latent = _guide_latents(params, cfg, rgb_latent, None, None, None)
     conditioning = _conditioning(params, rgb_latent.shape[0], ims.dtype)
     depth = _euler_depth(params, cfg, rng, rgb_latent, cond_latent,
-                         conditioning, num_steps, ims.dtype, attn_impl)
+                         conditioning, num_steps, ims.dtype, attn_impl,
+                         tome=tome)
     if ensemble_size > 1:
         depth = jnp.mean(depth, axis=0, keepdims=True)
     depth = jnp.exp(depth.astype(jnp.float32))

@@ -291,7 +291,8 @@ def _geglu_ff(p, x):
     return _lin(p["out"], a * jax.nn.gelu(gate, approximate=False))
 
 
-def _spatial_transformer(p, x, context_ca, cfg: UNetConfig, attn_impl):
+def _spatial_transformer(p, x, context_ca, cfg: UNetConfig, attn_impl,
+                         tome=None):
     b, h, w, c = x.shape
     x_in = x
     y = group_norm(p["norm"], x, eps=1e-6)
@@ -306,14 +307,56 @@ def _spatial_transformer(p, x, context_ca, cfg: UNetConfig, attn_impl):
     if cfg.rescale_self_attention:
         n, dh = h * w, c // cfg.num_heads
         self_scale = (math.log(n) / math.log(n * 4) / dh) ** 0.5
-    for d in range(cfg.transformer_depth):
-        blk = p["transformer_blocks"][str(d)]
-        y = y + _cross_attention(blk["attn1"], _layer_norm(blk["norm1"], y),
-                                 None, cfg.num_heads, attn_impl,
-                                 sm_scale=self_scale)
-        y = y + _cross_attention(blk["attn2"], _layer_norm(blk["norm2"], y),
-                                 context_ca, cfg.num_heads, attn_impl)
-        y = y + _geglu_ff(blk["ff"], _layer_norm(blk["norm3"], y))
+
+    # ToMe-SD (Bolya & Hoffman, "Token Merging for Fast Stable Diffusion"):
+    # one bipartite match per transformer block on its input tokens; every
+    # module (self-attn, cross-attn, GEGLU FF) runs on the merged [B,M,C]
+    # stream and its output is unmerged into the FULL-resolution residual,
+    # so the residual stream keeps per-token diversity. Opt-in serving only
+    # (quality unvalidated against real checkpoints — same policy as the
+    # trunk ToMe ladder).
+    n_tok = h * w
+    r = 0
+    if tome is not None:
+        ratio, min_tokens = tome
+        if n_tok >= min_tokens:
+            r = min(int(n_tok * ratio), n_tok // 2 - 1)
+    if r > 0:
+        from ..ops.token_merge import tome_apply, tome_merge, tome_unmerge
+        m_tok = n_tok - r
+        merged, idx = tome_merge(y, r)
+
+        def reduced(module, y_full, merged_cur):
+            out = module(merged_cur)
+            y_full = y_full + tome_unmerge(out, idx)
+            return y_full, tome_apply(y_full, idx, m_tok)
+
+        for d in range(cfg.transformer_depth):
+            blk = p["transformer_blocks"][str(d)]
+            y, merged = reduced(
+                lambda m: _cross_attention(
+                    blk["attn1"], _layer_norm(blk["norm1"], m), None,
+                    cfg.num_heads, attn_impl, sm_scale=self_scale),
+                y, merged)
+            y, merged = reduced(
+                lambda m: _cross_attention(
+                    blk["attn2"], _layer_norm(blk["norm2"], m), context_ca,
+                    cfg.num_heads, attn_impl),
+                y, merged)
+            y, merged = reduced(
+                lambda m: _geglu_ff(blk["ff"], _layer_norm(blk["norm3"], m)),
+                y, merged)
+    else:
+        for d in range(cfg.transformer_depth):
+            blk = p["transformer_blocks"][str(d)]
+            y = y + _cross_attention(blk["attn1"],
+                                     _layer_norm(blk["norm1"], y),
+                                     None, cfg.num_heads, attn_impl,
+                                     sm_scale=self_scale)
+            y = y + _cross_attention(blk["attn2"],
+                                     _layer_norm(blk["norm2"], y),
+                                     context_ca, cfg.num_heads, attn_impl)
+            y = y + _geglu_ff(blk["ff"], _layer_norm(blk["norm3"], y))
     if linear:
         y = _lin(p["proj_out"], y).reshape(b, h, w, c)
     else:
@@ -321,7 +364,8 @@ def _spatial_transformer(p, x, context_ca, cfg: UNetConfig, attn_impl):
     return x_in + y
 
 
-def _apply_layers(params, layers, x, emb, context_ca, cfg, attn_impl):
+def _apply_layers(params, layers, x, emb, context_ca, cfg, attn_impl,
+                  tome=None):
     for j, (kind, _meta) in enumerate(layers):
         p = params[str(j)]
         if kind == "conv_in":
@@ -329,7 +373,8 @@ def _apply_layers(params, layers, x, emb, context_ca, cfg, attn_impl):
         elif kind == "res":
             x = _res_block(p, x, emb)
         elif kind == "attn":
-            x = _spatial_transformer(p, x, context_ca, cfg, attn_impl)
+            x = _spatial_transformer(p, x, context_ca, cfg, attn_impl,
+                                     tome=tome)
         elif kind == "down":
             x = conv2d(p, x, stride=2, padding=1)
         elif kind == "up":
@@ -341,10 +386,13 @@ def _apply_layers(params, layers, x, emb, context_ca, cfg, attn_impl):
 def apply_unet(params: dict, cfg: UNetConfig, x: jax.Array, t: jax.Array,
                context: jax.Array | None = None,
                context_ca: jax.Array | None = None, *,
-               attn_impl: str | None = None) -> jax.Array:
+               attn_impl: str | None = None,
+               tome: tuple[float, int] | None = None) -> jax.Array:
     """x: [B,H,W,C_latent]; t: [B] in diffusion-time units; context is
     concatenated on channels (DepthFM conditioning); context_ca: [B,L,D]
-    cross-attention conditioning (text embedding)."""
+    cross-attention conditioning (text embedding). tome=(ratio, min_tokens)
+    enables ToMe-SD token merging in spatial-transformer blocks with at
+    least min_tokens tokens (opt-in serving; parity-breaking)."""
     inp, mid, out = build_plan(cfg)
     t_emb = timestep_embedding(t, cfg.model_channels)
     emb = _lin(params["time_embed"]["fc2"],
@@ -354,13 +402,13 @@ def apply_unet(params: dict, cfg: UNetConfig, x: jax.Array, t: jax.Array,
     hs = []
     for i, layers in enumerate(inp):
         h = _apply_layers(params["input_blocks"][str(i)], layers, h, emb,
-                          context_ca, cfg, attn_impl)
+                          context_ca, cfg, attn_impl, tome=tome)
         hs.append(h)
     h = _apply_layers(params["middle_block"], mid, h, emb, context_ca, cfg,
-                      attn_impl)
+                      attn_impl, tome=tome)
     for i, layers in enumerate(out):
         h = jnp.concatenate([h, hs.pop()], axis=-1)
         h = _apply_layers(params["output_blocks"][str(i)], layers, h, emb,
-                          context_ca, cfg, attn_impl)
+                          context_ca, cfg, attn_impl, tome=tome)
     h = group_norm(params["out"]["norm"], h)
     return conv2d(params["out"]["conv"], jax.nn.silu(h), padding=1)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tome_merge", "tome_unmerge"]
+__all__ = ["tome_merge", "tome_unmerge", "tome_apply"]
 
 
 def tome_merge(tokens: jax.Array, r: int):
@@ -87,3 +87,20 @@ def tome_unmerge(merged: jax.Array, unmerge_idx: jax.Array) -> jax.Array:
     """merged: [B, M, D]; unmerge_idx: [B, N] -> [B, N, D] (each original
     position takes its representative's features)."""
     return jax.vmap(lambda m, i: m[i])(merged, unmerge_idx)
+
+
+def tome_apply(tokens: jax.Array, unmerge_idx: jax.Array,
+               num_merged: int) -> jax.Array:
+    """Re-merge tokens [B, N, D] into [B, num_merged, D] group MEANS using
+    an existing assignment (ToMe-SD: the bipartite match is computed once
+    per block and reused by every module in it). With the idx returned by
+    `tome_merge(tokens, r)`, this reproduces that call's `merged` exactly
+    (kept tokens are singleton groups; merged targets average their group)."""
+
+    def one(t, i):
+        s = jnp.zeros((num_merged, t.shape[-1]), t.dtype).at[i].add(t)
+        c = jnp.zeros((num_merged,), t.dtype).at[i].add(
+            jnp.ones((), t.dtype))
+        return s / c[:, None]
+
+    return jax.vmap(one)(tokens, unmerge_idx)

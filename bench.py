@@ -63,6 +63,7 @@ def bench_depthfm():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     quant_tag = ""
+    params_exact = None
     if os.environ.get("AMODAL_INT8_DEPTHFM", "") == "1":
         # W8A8 with dynamic activation scales over the UNet+VAE (wide
         # convs/linears only; output convs stay high precision). Opt-in,
@@ -81,10 +82,22 @@ def bench_depthfm():
     mask = jnp.ones((batch, size, size, 1), dtype)
     obs = jnp.zeros((batch, size, size, 1), dtype)
 
-    def run(p, b_ims, b_mask, b_obs):
+    tome = None
+    tome_env = os.environ.get("AMODAL_TOME_DEPTHFM", "")
+    if tome_env:
+        # "ratio" or "ratio,min_tokens" — ToMe-SD merging in the UNet's
+        # spatial-transformer blocks (opt-in, parity-breaking; quality
+        # unvalidated against real checkpoints — same ladder policy as the
+        # trunk ToMe knobs)
+        parts = tome_env.split(",")
+        tome = (float(parts[0]),
+                int(parts[1]) if len(parts) > 1 else 4096)
+        quant_tag += f" tome={parts[0]}"
+
+    def run(p, b_ims, b_mask, b_obs, t=-1):
         return model.apply(p, b_ims, rng=jax.random.PRNGKey(1),
                            mode="eval", num_steps=4, guide_mask=b_mask,
-                           observation=b_obs)
+                           observation=b_obs, tome=tome if t == -1 else t)
 
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))
@@ -92,9 +105,10 @@ def bench_depthfm():
     quality = None
     if os.environ.get("AMODAL_QUALITY", "") == "1" and quant_tag:
         # same ladder policy as the amodal pipeline: no optimized number
-        # without its accuracy cost next to it
+        # without its accuracy cost next to it (exact = no int8, no tome)
         import numpy as np
-        exact = np.asarray(run(params_exact, ims, mask, obs),
+        exact = np.asarray(run(params_exact if params_exact is not None
+                               else params, ims, mask, obs, t=None),
                            np.float32)
         optim = np.asarray(run(params, ims, mask, obs), np.float32)
         d = np.abs(exact - optim)

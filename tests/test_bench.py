@@ -45,6 +45,13 @@ def test_bench_depthfm_mode():
     assert "depthfm" in out["metric"]
 
 
+def test_bench_depthfm_tome_quality_mode():
+    out = _run({"AMODAL_BENCH_DEPTHFM": "1", "AMODAL_TOME_DEPTHFM": "0.4,8",
+                "AMODAL_QUALITY": "1"})
+    assert "tome=0.4" in out["metric"]
+    assert out["quality_delta"]["depth_max_abs"] >= 0.0
+
+
 def test_bench_train_mode():
     out = _run({"AMODAL_BENCH_TRAIN": "1"})
     assert out["unit"] == "ms/step"

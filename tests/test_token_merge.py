@@ -107,3 +107,77 @@ def test_token_merge_with_pallas_padding(rng):
                             attn_impl="pallas-interpret", token_merge=(1, 3))
     assert out.shape == (1, 56, 56, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tome_apply_matches_merge(rng):
+    from amodal_depth_anything_tpu.ops.token_merge import tome_apply
+    x = jnp.asarray(rng.standard_normal((2, 40, 8)), jnp.float32)
+    merged, idx = tome_merge(x, r=10)
+    re_merged = tome_apply(x, idx, 30)
+    np.testing.assert_allclose(np.asarray(re_merged), np.asarray(merged),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_unet_tome_identical_tokens_exact(rng):
+    """ToMe-SD in the spatial transformer: when every spatial token is
+    identical, merging is lossless, so the ToMe output must match the
+    exact path to numerical tolerance — while on random (low-redundancy)
+    tokens the two paths must DIFFER, proving the merge is active.
+    proj_out is re-randomized: at init it is zero_module (torch parity),
+    which makes the whole block an identity and any comparison vacuous."""
+    from amodal_depth_anything_tpu.models.unet_ldm import (
+        UNetConfig, _lin_init, _spatial_transformer, _transformer_init)
+    cfg = UNetConfig(model_channels=16, num_heads=2, context_dim=8)
+    p = _transformer_init(jax.random.PRNGKey(0), cfg, 16)
+    p["proj_out"] = _lin_init(jax.random.PRNGKey(9), 16, 16)
+    ctx = jnp.asarray(rng.standard_normal((2, 5, 8)), np.float32)
+
+    x_rand = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), np.float32)
+    a = _spatial_transformer(p, x_rand, ctx, cfg, "xla")
+    b = _spatial_transformer(p, x_rand, ctx, cfg, "xla", tome=(0.4, 16))
+    assert float(jnp.abs(a - b).max()) > 1e-3  # merge actually engaged
+
+    tok = rng.standard_normal((1, 1, 16)).astype(np.float32)
+    x = jnp.asarray(np.broadcast_to(tok[:, None], (2, 8, 8, 16)).copy())
+    exact = _spatial_transformer(p, x, ctx, cfg, "xla")
+    merged = _spatial_transformer(p, x, ctx, cfg, "xla", tome=(0.4, 16))
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(exact),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_depthfm_generate_with_tome(rng):
+    """Tiny DepthFMAmodal end-to-end with ToMe-SD on the UNet: runs under
+    jit, static shapes, finite [0,1] output, and stays close to the exact
+    path on a smooth (high-redundancy) input."""
+    from amodal_depth_anything_tpu.models.depthfm import (
+        DepthFMConfig, depthfm_generate, init_depthfm)
+    cfg = DepthFMConfig(guide_type="image+mask+observation",
+                        model_channels=32, channel_mult=(1, 2), num_heads=2,
+                        context_dim=32, context_len=7,
+                        vae_channels=(16, 32), vae_layers=1)
+    params = init_depthfm(jax.random.PRNGKey(0), cfg)
+    # zero_module init makes every spatial transformer an identity (torch
+    # parity); jitter all UNet params so ToMe has an observable effect
+    leaves, treedef = jax.tree.flatten(params["unet"])
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    params["unet"] = jax.tree.unflatten(treedef, [
+        a + 0.02 * jax.random.normal(k, a.shape, a.dtype)
+        for a, k in zip(leaves, keys)])
+    yy, xx = np.mgrid[0:32, 0:32] / 32.0
+    ims = jnp.asarray(np.stack([xx, yy, xx * 0 + 0.5], -1)[None].repeat(2, 0),
+                      jnp.float32) * 2 - 1
+    guide = jnp.ones((2, 32, 32, 1), jnp.float32)
+    kw = dict(guide_rgb=ims, guide_mask=guide, observation=guide * 0.5)
+    f_exact = jax.jit(lambda p, r, x: depthfm_generate(
+        p, cfg, r, x, num_steps=2, **kw))
+    f_tome = jax.jit(lambda p, r, x: depthfm_generate(
+        p, cfg, r, x, num_steps=2, tome=(0.4, 8), **kw))
+    key = jax.random.PRNGKey(3)
+    exact = np.asarray(f_exact(params, key, ims))
+    out = np.asarray(f_tome(params, key, ims))
+    assert out.shape == (2, 32, 32, 1)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # the merge must actually engage (outputs differ) but not blow up
+    assert np.abs(out - exact).max() > 1e-6
+    assert abs(float(out.mean()) - float(exact.mean())) < 0.5
