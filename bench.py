@@ -62,6 +62,21 @@ def bench_depthfm():
     params = model.init(jax.random.PRNGKey(0))
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = jax.tree.map(lambda a: a.astype(dtype), params)
+    if os.environ.get("AMODAL_QUALITY", "") == "1":
+        # zero_module parity zeroes every transformer proj_out / ResBlock
+        # out conv / final conv at init, which makes the whole UNet output
+        # zero and any quality delta vacuous — jitter ALL UNet leaves so
+        # the optimized-vs-exact comparison exercises real signal flow
+        # (identical program/FLOPs; perf unaffected)
+        def _jitter(p):
+            leaves, treedef = jax.tree.flatten(p)
+            keys = jax.random.split(jax.random.PRNGKey(99), len(leaves))
+            return jax.tree.unflatten(treedef, [
+                a + 0.02 * jax.random.normal(k, a.shape, a.dtype)
+                for a, k in zip(leaves, keys)])
+
+        params = dict(params)
+        params["unet"] = jax.jit(_jitter)(params["unet"])
     quant_tag = ""
     params_exact = None
     if os.environ.get("AMODAL_INT8_DEPTHFM", "") == "1":
