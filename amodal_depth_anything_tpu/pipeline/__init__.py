@@ -1,7 +1,8 @@
 from .amodal_pipeline import AmodalDepthPipeline, amodal_depth_graph
+from .depthfm_pipeline import DepthFMPipeline
 from .raw_infer import (constrain_to_multiple_of, image2tensor_np,
                         infer_image, keep_aspect_size)
 
-__all__ = ["AmodalDepthPipeline", "amodal_depth_graph",
+__all__ = ["AmodalDepthPipeline", "DepthFMPipeline", "amodal_depth_graph",
            "constrain_to_multiple_of", "image2tensor_np", "infer_image",
            "keep_aspect_size"]

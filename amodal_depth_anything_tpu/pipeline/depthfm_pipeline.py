@@ -1,0 +1,184 @@
+"""Serving pipeline for the generative (DepthFM) family.
+
+`AmodalDepthPipeline`'s counterpart for DepthFMAmodal / plain DepthFM
+(reference `src/models/depthfm/dfm_amodal.py:246-265` eval path and
+`src/scripts/amodel_depthfm_inference.py` preprocessing contract):
+load the torch checkpoints once, then run preprocess -> VAE encode ->
+guidance latents -> 4-step Euler ODE -> VAE decode as ONE jit program
+per input shape. Input conventions match the reference trainers
+(`depthfm_amodal_trainer.py:197-199`): rgb/guide_rgb scaled to [-1,1],
+guide mask 0/1, observation in [0,1].
+
+The serving-optimization ladder mirrors the discriminative pipeline's:
+`quantize_int8()` = opt-in dynamic-scale W8A8 over UNet+VAE (measured
+15.1 img/s/chip vs 13.1 bf16 at b8 @512 on v5e — throughput lever only,
+b1 latency regresses), `tome=` = ToMe-SD merging in the UNet's spatial
+transformers (measured 14.1 img/s with b1 p50 unharmed). Both are
+parity-breaking and never default.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.depthfm import (DepthFMConfig, depthfm_generate,
+                              depthfm_predict_depth)
+from ..ops.resize import resize2d, resize_nearest
+
+__all__ = ["DepthFMPipeline"]
+
+
+class DepthFMPipeline:
+    """User-facing generative pipeline: load checkpoints once, infer many.
+
+    `params`/`cfg` come from `models.get_model("DepthFMAmodal")` init or
+    `from_checkpoints`. `size` must be divisible by the VAE factor (8).
+    """
+
+    def __init__(self, params, cfg: DepthFMConfig, *, size: int = 512,
+                 num_steps: int = 4, dtype=jnp.float32,
+                 attn_impl: str | None = None, seed: int = 2024,
+                 tome: tuple[float, int] | None = None):
+        self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype)
+                                   if jnp.issubdtype(jnp.asarray(a).dtype,
+                                                     jnp.floating)
+                                   else jnp.asarray(a), params)
+        self.cfg = cfg
+        self.size = size
+        self.num_steps = num_steps
+        self.dtype = dtype
+        self.attn_impl = attn_impl
+        self.seed = seed
+        # "ratio" or (ratio, min_tokens): ToMe-SD in the UNet transformers
+        self.tome = (float(tome), 4096) if isinstance(tome, (int, float)) \
+            else tome
+
+        cfg_ = cfg
+
+        @jax.jit
+        def _amodal_graph(params, image, mask, observation, guide_rgb):
+            s = (size, size)
+            rgb = resize2d(image / 255.0, size=s,
+                           method="bilinear") * 2.0 - 1.0
+            m = (resize_nearest(mask, size=s) > 0).astype(rgb.dtype) \
+                if mask is not None else None
+            obs = resize2d(observation, size=s, method="bilinear") \
+                if observation is not None else None
+            grgb = resize2d(guide_rgb / 255.0, size=s,
+                            method="bilinear") * 2.0 - 1.0 \
+                if guide_rgb is not None else None
+            return depthfm_generate(
+                params, cfg_, jax.random.PRNGKey(seed), rgb,
+                num_steps=num_steps, guide_rgb=grgb, guide_mask=m,
+                observation=obs, attn_impl=attn_impl, tome=self.tome)
+
+        self._amodal_graph = _amodal_graph
+
+        @functools.partial(jax.jit, static_argnames=("ensemble_size",
+                                                     "n_steps"))
+        def _plain_graph(params, image, ensemble_size=1, n_steps=2):
+            rgb = resize2d(image / 255.0, size=(size, size),
+                           method="bilinear") * 2.0 - 1.0
+            return depthfm_predict_depth(
+                params, cfg_, jax.random.PRNGKey(seed), rgb,
+                num_steps=n_steps, ensemble_size=ensemble_size,
+                attn_impl=attn_impl, tome=self.tome)
+
+        self._plain_graph = _plain_graph
+
+    @classmethod
+    def from_checkpoints(cls, depthfm_ckpt: str, vae_ckpt: str, *,
+                         guide_type: str = "mask+observation",
+                         cfg_overrides: dict | None = None, **kw):
+        """depthfm_ckpt: the reference's `depthfm-v1.ckpt` (torch, UNet +
+        empty-text embedding + hparams, `dfm_amodal.py:91-142`); vae_ckpt:
+        diffusers SD-1.5 AutoencoderKL weights (.safetensors or .bin —
+        the VAE ships separately, reference `dfm.py:20-22`). The VAE
+        block topology is inferred from the state dict; `cfg_overrides`
+        patches DepthFMConfig fields the ckpt hparams don't carry
+        (e.g. vae_channels for non-SD VAEs)."""
+        import dataclasses
+
+        from ..convert.depthfm_convert import (convert_sd_vae,
+                                               load_depthfm_ckpt)
+        from ..convert.torch_to_jax import load_state_dict
+
+        cfg, params = load_depthfm_ckpt(depthfm_ckpt, guide_type=guide_type)
+        if cfg_overrides:
+            cfg = dataclasses.replace(cfg, **cfg_overrides)
+        vae_sd = load_state_dict(vae_ckpt)
+        n_down = 1 + max(int(k.split(".")[2]) for k in vae_sd
+                         if k.startswith("encoder.down_blocks."))
+        layers = 1 + max(int(k.split(".")[4]) for k in vae_sd
+                         if k.startswith("encoder.down_blocks.0.resnets."))
+        params["vae"] = convert_sd_vae(vae_sd, n_down_blocks=n_down,
+                                       layers_per_block=layers)
+        return cls(params, cfg, **kw)
+
+    def quantize_int8(self, **kw) -> None:
+        """Opt-in dynamic-scale W8A8 over the UNet + VAE
+        (`ops/quant.py::quantize_diffusion_int8`; wide convs/linears only,
+        output convs stay high precision — `kw` forwards the width
+        thresholds / skip suffixes). Parity-breaking; measured +15%
+        throughput at b8 @512 on v5e, but b1 latency regresses (the
+        per-tensor run-time amax reductions serialize at small batch)."""
+        from ..ops.quant import quantize_diffusion_int8
+        self.params = jax.jit(
+            functools.partial(quantize_diffusion_int8, **kw))(self.params)
+
+    def _batch(self, x, channels):
+        """-> ([B,H,W,c] device array | None, was_unbatched)."""
+        if x is None:
+            return None, False
+        arr = np.asarray(x, np.float32)
+        if channels == 3:  # [H,W,3] or [B,H,W,3]
+            squeeze = arr.ndim == 3
+            if squeeze:
+                arr = arr[None]
+        else:  # [H,W] or [B,H,W] -> [B,H,W,1]
+            squeeze = arr.ndim == 2
+            arr = arr[None, :, :, None] if squeeze else arr[..., None]
+        return jnp.asarray(arr, self.dtype), squeeze
+
+    def __call__(self, image: np.ndarray, mask: np.ndarray | None = None,
+                 observation: np.ndarray | None = None,
+                 guide_rgb: np.ndarray | None = None) -> np.ndarray:
+        """image: [H,W,3] or [B,H,W,3] uint8/float in [0,255];
+        mask: [H,W]/[B,H,W] (>0 = amodal object); observation: same
+        shape in [0,1] (the normalized base depth); guide_rgb: un-occluded
+        render in [0,255] for guide types including "image".
+
+        Returns amodal depth [H,W] (or [B,H,W]) in [0,1], far = 0
+        (the 1-x flip of `dfm_amodal.py:261-262`)."""
+        g = self.cfg.guide_type
+        if "mask" in g and mask is None:
+            raise ValueError(f"guide_type {g!r} requires mask")
+        if "observation" in g and observation is None:
+            raise ValueError(f"guide_type {g!r} requires observation")
+        if "image" in g and guide_rgb is None:
+            raise ValueError(f"guide_type {g!r} requires guide_rgb")
+        img, squeeze = self._batch(image, 3)
+        msk, _ = self._batch(mask if "mask" in g else None, 1)
+        obs, _ = self._batch(observation if "observation" in g else None, 1)
+        grgb, _ = self._batch(guide_rgb if "image" in g else None, 3)
+        out = self._amodal_graph(self.params, img, msk, obs, grgb)
+        out = np.asarray(out[..., 0], np.float32)
+        return out[0] if squeeze else out
+
+    def predict_depth(self, image: np.ndarray, *, ensemble_size: int = 1,
+                      num_steps: int = 2) -> np.ndarray:
+        """Plain (unguided) DepthFM depth — the pseudo-label factory's
+        labeler protocol (reference `dfm.py:59-94`, `sam_pl_gen.py:56-61`:
+        2 steps x ensemble). Requires guide_type='none'. Returns
+        [H,W]/[B,H,W] in [0,1] (no 1-x flip — factory convention)."""
+        img, squeeze = self._batch(image, 3)
+        out = self._plain_graph(self.params, img,
+                                ensemble_size=ensemble_size,
+                                n_steps=num_steps)
+        out = np.asarray(out[..., 0], np.float32)
+        return out[0] if squeeze else out

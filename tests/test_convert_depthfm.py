@@ -63,10 +63,10 @@ def _emit_transformer(sd, prefix, p, cfg):
             _emit_gn(sd, f"{b}.{n}", blk[n])
 
 
-def test_unet_converter_roundtrip():
-    cfg = UNetConfig(in_channels=10, model_channels=32, channel_mult=(1, 2),
-                     num_heads=2, context_dim=16)
-    params = jax.jit(lambda k: init_unet(k, cfg))(jax.random.PRNGKey(3))
+def emit_unet_sd(params, cfg) -> dict:
+    """Inverse of convert_ldm_unet: our pytree -> torch-layout state dict
+    (numpy values). Shared by the round-trip test and the DepthFM
+    pipeline from_checkpoints test."""
     inp, mid, out = build_plan(cfg)
 
     sd: dict = {}
@@ -97,7 +97,14 @@ def test_unet_converter_roundtrip():
         for j, (kind, _m) in enumerate(layers):
             emit_layer(kind, f"output_blocks.{i}.{j}",
                        params["output_blocks"][str(i)][str(j)])
+    return sd
 
+
+def test_unet_converter_roundtrip():
+    cfg = UNetConfig(in_channels=10, model_channels=32, channel_mult=(1, 2),
+                     num_heads=2, context_dim=16)
+    params = jax.jit(lambda k: init_unet(k, cfg))(jax.random.PRNGKey(3))
+    sd = emit_unet_sd(params, cfg)
     converted = convert_ldm_unet(sd, cfg)
     a, b = _tree_paths(params), _tree_paths(converted)
     assert set(a) == set(b), set(a) ^ set(b)
@@ -105,10 +112,9 @@ def test_unet_converter_roundtrip():
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
-def test_vae_converter_roundtrip():
-    cfg = VAEConfig(block_out_channels=(16, 32), layers_per_block=1)
-    params = jax.jit(lambda k: init_vae(k, cfg))(jax.random.PRNGKey(4))
-
+def emit_vae_sd(params) -> dict:
+    """Inverse of convert_sd_vae: our VAE pytree -> diffusers-layout
+    state dict (numpy values)."""
     sd: dict = {}
 
     def emit_resnet(prefix, p):
@@ -153,7 +159,13 @@ def test_vae_converter_roundtrip():
     _emit_conv(sd, "decoder.conv_out", dec["conv_out"])
     _emit_conv(sd, "quant_conv", params["quant_conv"])
     _emit_conv(sd, "post_quant_conv", params["post_quant_conv"])
+    return sd
 
+
+def test_vae_converter_roundtrip():
+    cfg = VAEConfig(block_out_channels=(16, 32), layers_per_block=1)
+    params = jax.jit(lambda k: init_vae(k, cfg))(jax.random.PRNGKey(4))
+    sd = emit_vae_sd(params)
     converted = convert_sd_vae(sd, n_down_blocks=2, layers_per_block=1)
     a, b = _tree_paths(params), _tree_paths(converted)
     assert set(a) == set(b), set(a) ^ set(b)
