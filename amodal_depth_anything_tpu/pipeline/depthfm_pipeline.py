@@ -43,11 +43,22 @@ class DepthFMPipeline:
     def __init__(self, params, cfg: DepthFMConfig, *, size: int = 512,
                  num_steps: int = 4, dtype=jnp.float32,
                  attn_impl: str | None = None, seed: int = 2024,
-                 tome: tuple[float, int] | None = None):
+                 tome: tuple[float, int] | None = None, mesh=None):
+        """`mesh`: optional serving mesh — params are replicated and the
+        batch sharded over its 'data' axis, so one jit program runs the
+        whole generate graph data-parallel (throughput scale-out; batch
+        must be divisible by the data-axis size)."""
         self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype)
                                    if jnp.issubdtype(jnp.asarray(a).dtype,
                                                      jnp.floating)
                                    else jnp.asarray(a), params)
+        self._batch_sharding = None
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(mesh, P())
+            self.params = jax.tree.map(
+                lambda a: jax.device_put(a, replicated), self.params)
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self.cfg = cfg
         self.size = size
         self.num_steps = num_steps
@@ -143,7 +154,10 @@ class DepthFMPipeline:
         else:  # [H,W] or [B,H,W] -> [B,H,W,1]
             squeeze = arr.ndim == 2
             arr = arr[None, :, :, None] if squeeze else arr[..., None]
-        return jnp.asarray(arr, self.dtype), squeeze
+        out = jnp.asarray(arr, self.dtype)
+        if self._batch_sharding is not None:
+            out = jax.device_put(out, self._batch_sharding)
+        return out, squeeze
 
     def __call__(self, image: np.ndarray, mask: np.ndarray | None = None,
                  observation: np.ndarray | None = None,

@@ -76,6 +76,28 @@ def test_depthfm_pipeline_plain_and_optimizations(rng):
     assert np.abs(d3 - d1).mean() < 0.2
 
 
+def test_depthfm_pipeline_dp_mesh(rng):
+    """Data-parallel serving: batch sharded over the mesh's 'data' axis,
+    result equal to the unsharded pipeline."""
+    from amodal_depth_anything_tpu.parallel import MeshConfig, make_mesh
+
+    model = get_model("DepthFMAmodal", tiny=True)
+    params = model.init(jax.random.PRNGKey(0))
+    img, mask, obs = _inputs(rng)
+    imgs = np.stack([img, img[::-1]])
+    masks, obss = np.stack([mask, mask]), np.stack([obs, obs])
+
+    ref = DepthFMPipeline(params, model.config, size=32, num_steps=2)
+    want = ref(imgs, masks, obss)
+
+    mesh = make_mesh(MeshConfig(data=2, model=1),
+                     devices=jax.devices()[:2])
+    pipe = DepthFMPipeline(params, model.config, size=32, num_steps=2,
+                           mesh=mesh)
+    got = pipe(imgs, masks, obss)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_depthfm_pipeline_from_checkpoints(rng, tmp_path):
     """Real-file round trip: emit a tiny depthfm-v1.ckpt (8-in UNet +
     hparams + empty text embedding, reference `dfm_amodal.py:91-142`
