@@ -120,13 +120,19 @@ class DepthFMPipeline:
         from ..convert.torch_to_jax import load_state_dict
 
         cfg, params = load_depthfm_ckpt(depthfm_ckpt, guide_type=guide_type)
-        if cfg_overrides:
-            cfg = dataclasses.replace(cfg, **cfg_overrides)
         vae_sd = load_state_dict(vae_ckpt)
         n_down = 1 + max(int(k.split(".")[2]) for k in vae_sd
                          if k.startswith("encoder.down_blocks."))
         layers = 1 + max(int(k.split(".")[4]) for k in vae_sd
                          if k.startswith("encoder.down_blocks.0.resnets."))
+        chans = tuple(
+            int(vae_sd[f"encoder.down_blocks.{i}.resnets.0.conv1.weight"]
+                .shape[0]) for i in range(n_down))
+        overrides = {"vae_channels": chans, "vae_layers": layers,
+                     "context_len":
+                         int(params["empty_text_embed"].shape[-2])}
+        overrides.update(cfg_overrides or {})
+        cfg = dataclasses.replace(cfg, **overrides)
         params["vae"] = convert_sd_vae(vae_sd, n_down_blocks=n_down,
                                        layers_per_block=layers)
         return cls(params, cfg, **kw)

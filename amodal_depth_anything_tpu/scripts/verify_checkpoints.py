@@ -49,6 +49,11 @@ def build_parser():
     p.add_argument("--dav2_base", default=None)
     p.add_argument("--dav2_amodal", default=None)
     p.add_argument("--depthfm", default=None)
+    p.add_argument("--depthfm_vae", default=None,
+                   help="diffusers SD-1.5 AutoencoderKL weights; with "
+                        "--depthfm enables the full-pipeline rows")
+    p.add_argument("--depthfm_size", type=int, default=512,
+                   help="DepthFM pipeline resolution (multiple of 8)")
     p.add_argument("--sam", default=None)
     p.add_argument("--pix2gestalt", default=None)
     p.add_argument("--rmbg", default=None)
@@ -319,6 +324,71 @@ def check_depthfm(report, path, skip_forward):
     _row(report, "depthfm_unet_forward", _forward)
 
 
+def check_depthfm_pipeline(report, args):
+    """Full DepthFMAmodal serving pipeline on real weights (UNet ckpt +
+    diffusers VAE): forward gate, plus int8/ToMe quality deltas under
+    --quality. Observation input is a grayscale proxy (the real serving
+    observation is the base DAV2 depth; for the optimized-vs-exact DELTA
+    any plausible observation exercises the same program)."""
+    import cv2
+    from PIL import Image
+
+    from ..pipeline import DepthFMPipeline
+
+    img_path = args.image or \
+        f"{args.reference}/assets/inference_examples/case1.jpg"
+    msk_path = args.mask or \
+        f"{args.reference}/assets/inference_masks/case1_mask.png"
+    if not os.path.exists(img_path):
+        report.add("depthfm_pipeline_forward", "SKIP", "no image available")
+        return
+    image = cv2.imread(img_path)[..., ::-1]  # RGB
+    mask = (np.asarray(Image.open(msk_path)) > 0).astype(np.float32)
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    obs = image.astype(np.float32).mean(axis=-1) / 255.0
+
+    holder = {}
+
+    def _forward():
+        pipe = DepthFMPipeline.from_checkpoints(
+            args.depthfm, args.depthfm_vae, size=args.depthfm_size)
+        holder["pipe"] = pipe
+        holder["params"] = pipe.params
+        out = pipe(image, mask, obs)
+        assert np.isfinite(out).all(), "non-finite depth"
+        assert 0.0 <= out.min() and out.max() <= 1.0, "depth outside [0,1]"
+        holder["exact"] = out
+        return f"out [{out.shape[0]}x{out.shape[1]}] in [0,1]"
+
+    _row(report, "depthfm_pipeline_forward", _forward)
+    if not args.quality:
+        return
+    if "exact" not in holder:
+        report.add("depthfm_int8_quality_delta", "SKIP", "forward failed")
+        return
+    pipe, exact = holder["pipe"], holder["exact"]
+
+    def _delta(optimized):
+        d = np.abs(optimized(image, mask, obs) - exact)
+        return f"depth max {d.max():.2e} mean {d.mean():.2e}"
+
+    def _int8():
+        q = DepthFMPipeline(holder["params"], pipe.cfg,
+                            size=args.depthfm_size)
+        q.quantize_int8()
+        return _delta(q)
+
+    _row(report, "depthfm_int8_quality_delta", _int8)
+
+    def _tome():
+        t = DepthFMPipeline(holder["params"], pipe.cfg,
+                            size=args.depthfm_size, tome=(0.75, 4096))
+        return _delta(t)
+
+    _row(report, "depthfm_tome_quality_delta", _tome)
+
+
 def check_sam(report, path):
     def _convert():
         import torch
@@ -410,6 +480,12 @@ def main(argv=None) -> int:
 
     if args.depthfm:
         check_depthfm(report, args.depthfm, args.skip_forward)
+        if args.depthfm_vae and not args.skip_forward:
+            check_depthfm_pipeline(report, args)
+        else:
+            report.add("depthfm_pipeline_forward", "SKIP",
+                       "--depthfm_vae not given" if not args.depthfm_vae
+                       else "--skip_forward")
     else:
         report.add("depthfm_convert", "SKIP", "--depthfm not given")
     for attr, fn in (("sam", check_sam),

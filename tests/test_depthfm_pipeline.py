@@ -139,11 +139,11 @@ def test_depthfm_pipeline_from_checkpoints(rng, tmp_path):
     torch.save(vae_sd, vae_path)
 
     pipe = DepthFMPipeline.from_checkpoints(
-        str(ckpt_path), str(vae_path),
-        cfg_overrides={"vae_channels": (16, 32), "vae_layers": 1,
-                       "context_len": 7},
-        size=32, num_steps=2)
+        str(ckpt_path), str(vae_path), size=32, num_steps=2)
     assert pipe.cfg.guide_type == "mask+observation"
+    # VAE topology and context length inferred from the files
+    assert pipe.cfg.vae_channels == (16, 32)
+    assert pipe.cfg.vae_layers == 1 and pipe.cfg.context_len == 7
     # conv-in widened 8 -> 10 with zero guidance channels
     w = pipe.params["unet"]["input_blocks"]["0"]["0"]["w"]
     assert w.shape[2] == 10

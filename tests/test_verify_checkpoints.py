@@ -70,3 +70,55 @@ def test_kit_full_chain_gate_on_stub_weights(stub_ckpts, tmp_path):
     chain_row = [l for l in report.splitlines() if "full_chain" in l][0]
     assert "PASS" in chain_row, chain_row
     assert rc == 0
+
+
+def test_kit_depthfm_pipeline_rows(tmp_path):
+    """Full DepthFM pipeline + quality rows on tiny stubbed files (the
+    checkpoint-day command shape: --depthfm + --depthfm_vae +
+    --quality)."""
+    import jax
+    import numpy as np
+    from PIL import Image
+    from test_convert_depthfm import emit_unet_sd, emit_vae_sd
+
+    from amodal_depth_anything_tpu.models.unet_ldm import (UNetConfig,
+                                                           init_unet)
+    from amodal_depth_anything_tpu.models.vae import VAEConfig, init_vae
+    from amodal_depth_anything_tpu.scripts import verify_checkpoints as vk
+
+    ucfg = UNetConfig(in_channels=8, model_channels=32, channel_mult=(1, 2),
+                      num_heads=2, context_dim=32)
+    unet = jax.jit(lambda k: init_unet(k, ucfg))(jax.random.PRNGKey(2))
+    torch.save({
+        "ldm_hparams": {"context_dim": 32, "model_channels": 32,
+                        "channel_mult": [1, 2], "num_heads": 2},
+        "noising_step": 400,
+        "state_dict": {k: torch.from_numpy(np.array(v)) for k, v in
+                       emit_unet_sd(unet, ucfg).items()},
+        "empty_text_embedding": np.zeros((7, 32), np.float32),
+    }, tmp_path / "depthfm-v1.ckpt")
+    vae = jax.jit(lambda k: init_vae(
+        k, VAEConfig(block_out_channels=(16, 32), layers_per_block=1)))(
+        jax.random.PRNGKey(3))
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in
+                emit_vae_sd(vae).items()}, tmp_path / "vae.pth")
+
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((40, 48, 3)) * 255).astype(np.uint8)).save(
+        tmp_path / "img.png")
+    Image.fromarray(((rng.random((40, 48)) > 0.5) * 255).astype(
+        np.uint8)).save(tmp_path / "mask.png")
+
+    rc = vk.main(["--depthfm", str(tmp_path / "depthfm-v1.ckpt"),
+                  "--depthfm_vae", str(tmp_path / "vae.pth"),
+                  "--depthfm_size", "32", "--quality",
+                  "--image", str(tmp_path / "img.png"),
+                  "--mask", str(tmp_path / "mask.png"),
+                  "--output", str(tmp_path / "report.txt")])
+    assert rc == 0
+    report = (tmp_path / "report.txt").read_text()
+    for row in ("depthfm_convert", "depthfm_unet_forward",
+                "depthfm_pipeline_forward", "depthfm_int8_quality_delta",
+                "depthfm_tome_quality_delta"):
+        line = [l for l in report.splitlines() if l.startswith(row)][0]
+        assert "PASS" in line, line
