@@ -109,10 +109,18 @@ def bench_depthfm():
                 int(parts[1]) if len(parts) > 1 else 4096)
         quant_tag += f" tome={parts[0]}"
 
+    # AMODAL_DEPTHFM_ATTN=xla|pallas: A/B the UNet attention impl (the
+    # SD-1.5 heads have dim 40/80/160 — the Pallas kernel pads head dim
+    # to 128-lane tiles, XLA may win at the shallow dims)
+    attn_impl = os.environ.get("AMODAL_DEPTHFM_ATTN") or None
+    if attn_impl:
+        quant_tag += f" attn={attn_impl}"
+
     def run(p, b_ims, b_mask, b_obs, t=-1):
         return model.apply(p, b_ims, rng=jax.random.PRNGKey(1),
                            mode="eval", num_steps=4, guide_mask=b_mask,
-                           observation=b_obs, tome=tome if t == -1 else t)
+                           observation=b_obs, tome=tome if t == -1 else t,
+                           attn_impl=attn_impl)
 
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))
