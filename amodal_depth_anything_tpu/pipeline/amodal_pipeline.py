@@ -114,6 +114,7 @@ class AmodalDepthPipeline:
         self.params_raw = to_dev(params_raw)
         self.params_amodal = to_dev(params_amodal)
         self.act_sharding = None
+        self._batch_sharding = None
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -124,6 +125,17 @@ class AmodalDepthPipeline:
                                               tensor_parallel=True)
             self.act_sharding = NamedSharding(
                 mesh, P("data", "model", None))
+        elif mesh is not None and mesh.shape.get("data", 1) > 1:
+            # data-only mesh: pure DP serving — params replicated, the
+            # batch sharded over 'data' (throughput scale-out; batch must
+            # divide the data-axis size)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(mesh, P())
+            self.params_raw = jax.tree.map(
+                lambda a: jax.device_put(a, replicated), self.params_raw)
+            self.params_amodal = jax.tree.map(
+                lambda a: jax.device_put(a, replicated), self.params_amodal)
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self.raw_cfg, self.amodal_cfg = raw_cfg, amodal_cfg
         self.size = size
         self.attn_impl = attn_impl
@@ -276,15 +288,20 @@ class AmodalDepthPipeline:
             img, msk = img[None], msk[None]
             if base_image is not None and base_image.ndim == 3:
                 base_image = base_image[None]
+        def dev(a):
+            a = jnp.asarray(a, self.dtype)
+            if self._batch_sharding is not None:
+                a = jax.device_put(a, self._batch_sharding)
+            return a
+
         base, blended = amodal_depth_graph(
             self.params_raw, self.params_amodal,
-            jnp.asarray(img, self.dtype),
-            jnp.asarray(msk[..., None], self.dtype),
+            dev(img), dev(msk[..., None]),
             raw_cfg=self.raw_cfg, amodal_cfg=self.amodal_cfg,
             size=self.size, attn_impl=self.attn_impl,
             act_sharding=self.act_sharding,
             base_image=None if base_image is None else
-            jnp.asarray(np.asarray(base_image, np.float32), self.dtype))
+            dev(np.asarray(base_image, np.float32)))
         base, blended = np.asarray(base, np.float32), np.asarray(blended, np.float32)
         if squeeze:
             base, blended = base[0], blended[0]

@@ -280,3 +280,34 @@ def test_pipeline_quantize_int8_dynamic(rng):
 
     with pytest.raises(ValueError):
         q_pipe.quantize_int8(dynamic=True, calibration=(img, mask))
+
+
+def test_pipeline_data_parallel_serving_matches_single(rng):
+    """mesh= with a data-only axis: pure DP serving — batch sharded over
+    'data', params replicated, result equal to the unsharded pipeline."""
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, init_amodal_dav2)
+    from amodal_depth_anything_tpu.parallel import MeshConfig, make_mesh
+    from amodal_depth_anything_tpu.pipeline import AmodalDepthPipeline
+
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    am_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    p_raw = jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(
+        jax.random.PRNGKey(0))
+    p_am = jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(
+        jax.random.PRNGKey(1))
+
+    img = (rng.random((2, 48, 40, 3)) * 255).astype(np.float32)
+    msk = (rng.random((2, 48, 40)) > 0.5).astype(np.float32)
+
+    ref = AmodalDepthPipeline(p_raw, raw_cfg, p_am, am_cfg, size=56,
+                              attn_impl="xla")
+    want_base, want_blend = ref(img, msk)
+
+    mesh = make_mesh(MeshConfig(data=2, model=1),
+                     devices=jax.devices()[:2])
+    pipe = AmodalDepthPipeline(p_raw, raw_cfg, p_am, am_cfg, size=56,
+                               attn_impl="xla", mesh=mesh)
+    got_base, got_blend = pipe(img, msk)
+    np.testing.assert_allclose(got_base, want_base, atol=1e-5)
+    np.testing.assert_allclose(got_blend, want_blend, atol=1e-5)
