@@ -105,12 +105,22 @@ class AmodalDepthPipeline:
     def __init__(self, params_raw, raw_cfg: DAV2Config, params_amodal,
                  amodal_cfg: DAV2Config, *, size: int = 518,
                  attn_impl: str | None = None, dtype=jnp.float32,
-                 mesh=None):
+                 mesh=None, cast: bool = True):
         """`mesh`: optional multi-chip serving mesh — both trunks' params
         are Megatron-TP sharded over its 'model' axis and the token
         streams constrained to it; one jit program then runs the whole
-        pipeline tensor-parallel (latency scale-out)."""
-        to_dev = lambda t: jax.tree.map(lambda a: jnp.asarray(a, dtype), t)
+        pipeline tensor-parallel (latency scale-out).
+
+        `cast=False` keeps every param leaf's dtype exactly as passed
+        (used by `load_serving`, whose trees are already in serving dtype
+        — possibly a mix of bf16 weights, int8 kernels, and f32 scales)."""
+        if cast:
+            to_dev = lambda t: jax.tree.map(
+                lambda a: jnp.asarray(a, dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else jnp.asarray(a), t)
+        else:
+            to_dev = lambda t: jax.tree.map(jnp.asarray, t)
         self.params_raw = to_dev(params_raw)
         self.params_amodal = to_dev(params_amodal)
         self.act_sharding = None
@@ -256,6 +266,44 @@ class AmodalDepthPipeline:
                 pa["depth_head"] = quantize_dpt_head_int8(
                     pa["depth_head"], hs, margin=margin)
                 self.params_amodal = pa
+
+    def save_serving(self, path: str) -> None:
+        """Persist the READY-TO-SERVE state (post bf16 cast / int8
+        quantization+calibration) so replicas restore bit-identically
+        without re-running any optimization (see pipeline/serving_ckpt.py;
+        the calibrated int8 path alone costs ~65 min of compiles through
+        a tunneled TPU)."""
+        import dataclasses
+
+        from .serving_ckpt import save_serving_state
+        save_serving_state(path, {
+            "raw": self.params_raw, "amodal": self.params_amodal,
+        }, {
+            "kind": "amodal_dav2",
+            "raw_cfg": dataclasses.asdict(self.raw_cfg),
+            "amodal_cfg": dataclasses.asdict(self.amodal_cfg),
+            "size": self.size,
+            "attn_impl": self.attn_impl,
+            "dtype": jnp.dtype(self.dtype).name,
+        })
+
+    @classmethod
+    def load_serving(cls, path: str, *, mesh=None,
+                     attn_impl: str | None = None):
+        """Restore a pipeline saved by `save_serving` — param dtypes are
+        kept exactly (int8 kernels stay int8; no re-cast, no
+        re-calibration). `mesh` with a 'data' axis replicates the restored
+        params for DP serving; a 'model' (TP) axis is only supported for
+        unquantized saves (the TP sharding rules cover the float trunk
+        layout, not the int8 scale leaves)."""
+        from .serving_ckpt import cfg_from_dict, restore_serving_state
+        trees, meta = restore_serving_state(path, expect_kind="amodal_dav2")
+        return cls(trees["raw"], cfg_from_dict(DAV2Config, meta["raw_cfg"]),
+                   trees["amodal"],
+                   cfg_from_dict(DAV2Config, meta["amodal_cfg"]),
+                   size=int(meta["size"]),
+                   attn_impl=attn_impl or meta["attn_impl"],
+                   dtype=jnp.dtype(meta["dtype"]), mesh=mesh, cast=False)
 
     @classmethod
     def from_checkpoints(cls, base_ckpt: str, amodal_ckpt: str, **kw):

@@ -43,15 +43,23 @@ class DepthFMPipeline:
     def __init__(self, params, cfg: DepthFMConfig, *, size: int = 512,
                  num_steps: int = 4, dtype=jnp.float32,
                  attn_impl: str | None = None, seed: int = 2024,
-                 tome: tuple[float, int] | None = None, mesh=None):
+                 tome: tuple[float, int] | None = None, mesh=None,
+                 cast: bool = True):
         """`mesh`: optional serving mesh — params are replicated and the
         batch sharded over its 'data' axis, so one jit program runs the
         whole generate graph data-parallel (throughput scale-out; batch
-        must be divisible by the data-axis size)."""
-        self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype)
-                                   if jnp.issubdtype(jnp.asarray(a).dtype,
-                                                     jnp.floating)
-                                   else jnp.asarray(a), params)
+        must be divisible by the data-axis size).
+
+        `cast=False` keeps every param leaf's dtype exactly as passed
+        (used by `load_serving` — restored trees are already in serving
+        dtype, possibly with int8 kernels and float scale leaves)."""
+        if cast:
+            self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype)
+                                       if jnp.issubdtype(jnp.asarray(a).dtype,
+                                                         jnp.floating)
+                                       else jnp.asarray(a), params)
+        else:
+            self.params = jax.tree.map(jnp.asarray, params)
         self._batch_sharding = None
         if mesh is not None and mesh.shape.get("data", 1) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -136,6 +144,40 @@ class DepthFMPipeline:
         params["vae"] = convert_sd_vae(vae_sd, n_down_blocks=n_down,
                                        layers_per_block=layers)
         return cls(params, cfg, **kw)
+
+    def save_serving(self, path: str) -> None:
+        """Persist the READY-TO-SERVE state (post bf16 cast / dynamic-int8
+        quantization) — replicas restore bit-identically with zero
+        re-quantization work (see pipeline/serving_ckpt.py)."""
+        import dataclasses
+
+        from .serving_ckpt import save_serving_state
+        save_serving_state(path, {"params": self.params}, {
+            "kind": "depthfm",
+            "cfg": dataclasses.asdict(self.cfg),
+            "size": self.size,
+            "num_steps": self.num_steps,
+            "attn_impl": self.attn_impl,
+            "seed": self.seed,
+            "tome": list(self.tome) if self.tome else None,
+            "dtype": jnp.dtype(self.dtype).name,
+        })
+
+    @classmethod
+    def load_serving(cls, path: str, *, mesh=None,
+                     attn_impl: str | None = None):
+        """Restore a pipeline saved by `save_serving` — param dtypes kept
+        exactly (int8 kernels stay int8; no re-cast/re-quantization).
+        `mesh` with a 'data' axis replicates for DP serving."""
+        from .serving_ckpt import cfg_from_dict, restore_serving_state
+        trees, meta = restore_serving_state(path, expect_kind="depthfm")
+        tome = meta.get("tome")
+        return cls(trees["params"], cfg_from_dict(DepthFMConfig, meta["cfg"]),
+                   size=int(meta["size"]), num_steps=int(meta["num_steps"]),
+                   attn_impl=attn_impl or meta["attn_impl"],
+                   seed=int(meta["seed"]),
+                   tome=tuple(tome) if tome else None,
+                   dtype=jnp.dtype(meta["dtype"]), mesh=mesh, cast=False)
 
     def quantize_int8(self, **kw) -> None:
         """Opt-in dynamic-scale W8A8 over the UNet + VAE

@@ -183,3 +183,24 @@ def test_depthfm_pipeline_matches_model_apply(rng):
                        attn_impl=None)
     np.testing.assert_allclose(got, np.asarray(want[0, ..., 0], np.float32),
                                atol=1e-5)
+
+
+def test_depthfm_pipeline_serving_save_load_roundtrip(rng, tmp_path):
+    """save_serving/load_serving restores the quantized serving state
+    bit-identically (no re-cast, no re-quantization)."""
+    model = get_model("DepthFMAmodal", tiny=True)
+    params = model.init(jax.random.PRNGKey(0))
+    pipe = DepthFMPipeline(params, model.config, size=32, num_steps=2,
+                           dtype=jnp.bfloat16, tome=(0.5, 4))
+    pipe.quantize_int8(min_conv_fan=8, min_lin_dim=4)
+
+    img, mask, obs = _inputs(rng)
+    want = pipe(img, mask, obs)
+
+    path = str(tmp_path / "serving")
+    pipe.save_serving(path)
+    loaded = DepthFMPipeline.load_serving(path)
+    assert loaded.size == 32 and loaded.num_steps == 2
+    assert loaded.dtype == jnp.bfloat16 and loaded.tome == (0.5, 4)
+    got = loaded(img, mask, obs)
+    np.testing.assert_array_equal(got, want)

@@ -311,3 +311,38 @@ def test_pipeline_data_parallel_serving_matches_single(rng):
     got_base, got_blend = pipe(img, msk)
     np.testing.assert_allclose(got_base, want_base, atol=1e-5)
     np.testing.assert_allclose(got_blend, want_blend, atol=1e-5)
+
+
+def test_pipeline_serving_save_load_roundtrip(rng, tmp_path):
+    """save_serving/load_serving: the quantized (int8) serving state
+    restores bit-identically — int8 kernels stay int8, outputs equal."""
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    amodal_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    params_raw = init_amodal_dav2(jax.random.PRNGKey(0), raw_cfg)
+    params_amodal = init_amodal_dav2(jax.random.PRNGKey(1), amodal_cfg)
+
+    img = (rng.random((80, 100, 3)) * 255).astype(np.float32)
+    mask = np.zeros((80, 100), np.float32)
+    mask[20:50, 30:70] = 1.0
+
+    pipe = AmodalDepthPipeline(params_raw, raw_cfg, params_amodal,
+                               amodal_cfg, size=56, attn_impl="xla",
+                               dtype=jnp.bfloat16)
+    pipe.quantize_int8(base=True, amodal=True, dynamic=True)
+    base_want, blend_want = pipe(img, mask)
+
+    path = str(tmp_path / "serving")
+    pipe.save_serving(path)
+    loaded = AmodalDepthPipeline.load_serving(path)
+    assert loaded.size == 56 and loaded.attn_impl == "xla"
+    assert loaded.dtype == jnp.bfloat16
+    qkv = loaded.params_raw["backbone"]["blocks"]["attn"]["qkv"]
+    assert qkv["w"].dtype == jnp.int8  # no re-cast on restore
+    base_got, blend_got = loaded(img, mask)
+    np.testing.assert_array_equal(base_got, base_want)
+    np.testing.assert_array_equal(blend_got, blend_want)
+
+    # wrong-kind guard
+    with pytest.raises(ValueError, match="expected 'depthfm'"):
+        from amodal_depth_anything_tpu.pipeline import DepthFMPipeline
+        DepthFMPipeline.load_serving(path)

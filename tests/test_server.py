@@ -1,0 +1,105 @@
+"""MicroBatcher: host-side micro-batching serving frontend.
+
+Contract under test: concurrent single-sample requests coalesce into
+<= ceil(n/max_batch) device dispatches, partial batches pad to the
+compiled batch size (one program shape), and every caller gets output
+bit-identical to a direct batched pipeline call.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from amodal_depth_anything_tpu.pipeline import MicroBatcher
+
+
+def test_microbatcher_coalesces_and_pads(rng):
+    calls = []
+
+    def batch_fn(x, y):
+        calls.append(x.shape[0])
+        return x * 2.0, y + 1.0
+
+    with MicroBatcher(batch_fn, max_batch=4, max_delay_ms=200) as mb:
+        xs = [rng.random((3, 2)).astype(np.float32) for _ in range(6)]
+        ys = [rng.random((3,)).astype(np.float32) for _ in range(6)]
+        futs = [mb.submit(x, y) for x, y in zip(xs, ys)]
+        outs = [f.result(timeout=30) for f in futs]
+
+    for (ox, oy), x, y in zip(outs, xs, ys):
+        np.testing.assert_array_equal(ox, x * 2.0)
+        np.testing.assert_array_equal(oy, y + 1.0)
+    # 6 requests at max_batch 4 -> 2 dispatches, both padded to 4
+    assert mb.dispatches == 2
+    assert calls == [4, 4]
+
+
+def test_microbatcher_single_output_and_infer():
+    with MicroBatcher(lambda x: x + 1.0, max_batch=2,
+                      max_delay_ms=0) as mb:
+        out = mb.infer(np.zeros((2, 2), np.float32))
+    np.testing.assert_array_equal(out, np.ones((2, 2), np.float32))
+    assert mb.dispatches == 1
+
+
+def test_microbatcher_shape_mismatch_and_errors():
+    def boom(x):
+        raise RuntimeError("kernel on fire")
+
+    with MicroBatcher(boom, max_batch=2, max_delay_ms=0) as mb:
+        fut = mb.submit(np.zeros((2,), np.float32))
+        with pytest.raises(RuntimeError, match="kernel on fire"):
+            fut.result(timeout=30)
+
+    with MicroBatcher(lambda x: x, max_batch=4, max_delay_ms=500) as mb:
+        f1 = mb.submit(np.zeros((2,), np.float32))
+        f2 = mb.submit(np.zeros((3,), np.float32))
+        with pytest.raises(ValueError, match="per-sample shapes"):
+            f1.result(timeout=30)
+            f2.result(timeout=30)
+
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(np.zeros((2,), np.float32))
+
+
+def test_microbatcher_concurrent_callers_match_direct_pipeline(rng):
+    """End-to-end over the real pipeline: threaded callers through the
+    batcher get bit-identical results to one direct batched call."""
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, init_amodal_dav2)
+    from amodal_depth_anything_tpu.pipeline import AmodalDepthPipeline
+
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    am_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    pipe = AmodalDepthPipeline(
+        jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(jax.random.PRNGKey(0)),
+        raw_cfg,
+        jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(jax.random.PRNGKey(1)),
+        am_cfg, size=56, attn_impl="xla")
+
+    imgs = (rng.random((5, 48, 40, 3)) * 255).astype(np.float32)
+    msks = (rng.random((5, 48, 40)) > 0.5).astype(np.float32)
+    want_base, want_blend = pipe(imgs[:4], msks[:4])  # direct, full batch
+
+    results = [None] * 5
+    with MicroBatcher(pipe, max_batch=4, max_delay_ms=1000) as mb:
+        def call(i):
+            results[i] = mb.infer(imgs[i], msks[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    assert mb.dispatches == 2  # 4 + 1(padded)
+    for i in range(4):
+        base_i, blend_i = results[i]
+        np.testing.assert_array_equal(base_i, want_base[i])
+        np.testing.assert_array_equal(blend_i, want_blend[i])
+    base4, blend4 = results[4]
+    assert base4.shape == (56, 56) and np.isfinite(blend4).all()
