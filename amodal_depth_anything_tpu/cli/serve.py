@@ -1,0 +1,173 @@
+"""HTTP serving entry point: the production deployment surface.
+
+    python -m amodal_depth_anything_tpu.cli.serve \
+        --serving_state /ckpt/serving   # from AmodalDepthPipeline.save_serving
+        --port 8000 --max_batch 8
+
+or build the pipeline from raw checkpoints:
+
+    python -m amodal_depth_anything_tpu.cli.serve \
+        --base_ckpt work_dir/ckp/amodal_depth_anything_base.pth \
+        --amodal_ckpt work_dir/ckp/amodal_dav2_vitl --dtype bfloat16
+
+Stdlib-only (ThreadingHTTPServer): concurrent POSTs are coalesced by
+`pipeline.MicroBatcher` into the ONE compiled batch shape — the device
+sees full static batches no matter how requests arrive. The reference
+has no serving layer (its `infer.py` is a one-shot script; `app.py` is a
+Gradio demo).
+
+API:
+  GET  /healthz              -> {"status": "ok", "dispatches": N}
+  POST /v1/amodal_depth      body {"image": <b64 png/jpg>, "mask": <b64 png>}
+       -> {"base_depth": <b64 u16 png>, "blended_depth": <b64 u16 png>,
+           "size": S}   (depth quantized [0,1] -> uint16, the repo's
+                         16-bit output convention)
+Inputs are host-resized to the pipeline's square `size` (image bilinear,
+mask nearest — the reference's own preprocessing geometry) so every
+request rides the same compiled program.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+__all__ = ["build_parser", "build_server", "main"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU amodal-depth HTTP server")
+    p.add_argument("--serving_state", type=str, default=None,
+                   help="Dir from AmodalDepthPipeline.save_serving (restores "
+                        "the exact optimized state — no recalibration).")
+    p.add_argument("--base_ckpt", type=str, default=None)
+    p.add_argument("--amodal_ckpt", type=str, default=None)
+    p.add_argument("--size", type=int, default=518)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_delay_ms", type=float, default=5.0)
+    return p
+
+
+def _b64_png_to_array(data: str) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(data))))
+
+
+def _depth_to_b64_png(depth: np.ndarray) -> str:
+    from PIL import Image
+    u16 = (np.clip(depth, 0.0, 1.0) * 65535.0).astype(np.uint16)
+    buf = io.BytesIO()
+    Image.fromarray(u16, mode="I;16").save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _prep(image: np.ndarray, mask: np.ndarray, size: int):
+    """Host-resize to the one compiled square shape (image bilinear,
+    mask nearest — reference infer.py:17,84-86 geometry)."""
+    from PIL import Image
+    if image.ndim == 2:
+        image = np.stack([image] * 3, axis=-1)
+    img = np.asarray(Image.fromarray(image[..., :3].astype(np.uint8)).resize(
+        (size, size), Image.BILINEAR), dtype=np.float32)
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    msk = np.asarray(Image.fromarray((mask > 0).astype(np.uint8)).resize(
+        (size, size), Image.NEAREST), dtype=np.float32)
+    return img, msk
+
+
+def build_server(pipeline, host: str = "127.0.0.1", port: int = 0, *,
+                 max_batch: int = 8,
+                 max_delay_ms: float = 5.0) -> ThreadingHTTPServer:
+    """Wrap a ready pipeline in a ThreadingHTTPServer + MicroBatcher.
+    Caller runs `server.serve_forever()` (or a thread around it) and
+    `server.shutdown()`; `server.batcher` exposes dispatch counts."""
+    from ..pipeline import MicroBatcher
+
+    batcher = MicroBatcher(pipeline, max_batch=max_batch,
+                           max_delay_ms=max_delay_ms)
+    size = pipeline.size
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "dispatches": batcher.dispatches,
+                                 "size": size})
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/amodal_depth":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n))
+                image = _b64_png_to_array(req["image"])
+                mask = _b64_png_to_array(req["mask"])
+                img, msk = _prep(image, mask, size)
+                base, blended = batcher.infer(img, msk)
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._json(200, {"base_depth": _depth_to_b64_png(base),
+                             "blended_depth": _depth_to_b64_png(blended),
+                             "size": size})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    return server
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+
+    from ..pipeline import AmodalDepthPipeline
+    if args.serving_state:
+        pipe = AmodalDepthPipeline.load_serving(args.serving_state)
+    elif args.base_ckpt and args.amodal_ckpt:
+        pipe = AmodalDepthPipeline.from_checkpoints(
+            args.base_ckpt, args.amodal_ckpt, size=args.size,
+            dtype=jnp.dtype(args.dtype))
+    else:
+        raise SystemExit("need --serving_state or --base_ckpt/--amodal_ckpt")
+
+    server = build_server(pipe, args.host, args.port,
+                          max_batch=args.max_batch,
+                          max_delay_ms=args.max_delay_ms)
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
+          f"(size={pipe.size}, max_batch={args.max_batch})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,84 @@ def test_microbatcher_concurrent_callers_match_direct_pipeline(rng):
         np.testing.assert_array_equal(blend_i, want_blend[i])
     base4, blend4 = results[4]
     assert base4.shape == (56, 56) and np.isfinite(blend4).all()
+
+
+def test_http_serving_endpoint(rng):
+    """cli/serve.py: stdlib HTTP server over MicroBatcher — concurrent
+    POSTs return depth PNGs identical to a direct pipeline call."""
+    import base64
+    import io
+    import json
+    import urllib.request
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.cli.serve import build_server, _prep
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, init_amodal_dav2)
+    from amodal_depth_anything_tpu.pipeline import AmodalDepthPipeline
+
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    am_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    pipe = AmodalDepthPipeline(
+        jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(jax.random.PRNGKey(0)),
+        raw_cfg,
+        jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(jax.random.PRNGKey(1)),
+        am_cfg, size=56, attn_impl="xla")
+
+    server = build_server(pipe, port=0, max_batch=2, max_delay_ms=400)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    url = f"http://127.0.0.1:{port}"
+
+    def b64_png(arr, mode=None):
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode=mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    try:
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["size"] == 56
+
+        image = (rng.random((48, 40, 3)) * 255).astype(np.uint8)
+        mask = ((rng.random((48, 40)) > 0.5) * 255).astype(np.uint8)
+        body = json.dumps({"image": b64_png(image),
+                           "mask": b64_png(mask)}).encode()
+
+        results = [None, None]
+
+        def post(i):
+            req = urllib.request.Request(
+                f"{url}/v1/amodal_depth", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.loads(r.read())
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        # expected: direct pipeline call on the server's host-resized inputs
+        img_p, msk_p = _prep(image.astype(np.float32), mask, 56)
+        base_want, blend_want = pipe(img_p, msk_p)
+        want_u16 = (np.clip(blend_want, 0, 1) * 65535).astype(np.uint16)
+
+        for res in results:
+            got = np.asarray(Image.open(io.BytesIO(
+                base64.b64decode(res["blended_depth"]))))
+            np.testing.assert_array_equal(got.astype(np.uint16), want_u16)
+
+        # bad request surfaces as 400, not a hung socket
+        bad = urllib.request.Request(f"{url}/v1/amodal_depth",
+                                     data=b'{"image": "zzz"}')
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.batcher.close()
