@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
-from ..ops.conv import conv2d, conv2d_init
+from ..ops.conv import conv2d, conv2d_init, fused_upsample2x_conv
 from ..ops.precision import dot_precision
 from ..ops.resize import resize_nearest
 
@@ -378,8 +378,11 @@ def _apply_layers(params, layers, x, emb, context_ca, cfg, attn_impl,
         elif kind == "down":
             x = conv2d(p, x, stride=2, padding=1)
         elif kind == "up":
-            x = resize_nearest(x, scale_factor=2.0)
-            x = conv2d(p, x, padding=1)
+            if p["w"].dtype == jnp.int8:  # W8A8 serving path
+                x = resize_nearest(x, scale_factor=2.0)
+                x = conv2d(p, x, padding=1)
+            else:
+                x = fused_upsample2x_conv(p, x)
     return x
 
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
-from ..ops.conv import conv2d, conv2d_init
+from ..ops.conv import conv2d, conv2d_init, fused_upsample2x_conv
 from ..ops.precision import dot_precision
 from ..ops.resize import resize_nearest
 from .unet_ldm import group_norm
@@ -210,7 +210,10 @@ def vae_decode(params: dict, z: jax.Array,
         for j in range(cfg.layers_per_block + 1):
             h = _resnet(blk["resnets"][str(j)], h)
         if "upsampler" in blk:
-            h = resize_nearest(h, scale_factor=2.0)
-            h = conv2d(blk["upsampler"], h, padding=1)
+            if blk["upsampler"]["w"].dtype == jnp.int8:  # W8A8 serving path
+                h = resize_nearest(h, scale_factor=2.0)
+                h = conv2d(blk["upsampler"], h, padding=1)
+            else:
+                h = fused_upsample2x_conv(blk["upsampler"], h)
     h = jax.nn.silu(group_norm(dec["conv_norm_out"], h, eps=1e-6))
     return conv2d(dec["conv_out"], h, padding=1)

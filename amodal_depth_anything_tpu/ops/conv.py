@@ -20,7 +20,7 @@ import numpy as np
 from .precision import dot_precision
 
 __all__ = ["conv2d", "conv2d_init", "conv_transpose_same_stride",
-           "layer_norm_2d"]
+           "fused_upsample2x_conv", "layer_norm_2d"]
 
 
 def conv2d_init(key, kh: int, kw: int, c_in: int, c_out: int, *,
@@ -56,6 +56,66 @@ def conv2d(p: dict, x: jax.Array, *, stride: int = 1, padding="SAME") -> jax.Arr
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
+
+
+def fused_upsample2x_conv(p: dict, x: jax.Array) -> jax.Array:
+    """nearest-2x upsample followed by a 3x3 SAME conv, as ONE low-res conv.
+
+    The nearest upsample makes every 3x3 window of the upsampled image read
+    a 2x2 low-res neighborhood with repeated taps, so for each output phase
+    (di, dj) in {0,1}^2 the 3x3 kernel folds into a 2x2 kernel on the
+    low-res input: rows {0}/{1,2} of W collapse onto low-res row offsets
+    {0}/{1} for di=0 and rows {0,1}/{2} onto {0}/{1} for di=1 (same for
+    columns). Stacking the four phase kernels on output channels gives one
+    [2,2,C,4*Cout] conv at H x W — 16 MACs/output vs the naive 36, and the
+    [2H,2W,C] nearest-upsampled intermediate is never materialized. A
+    depth-to-space interleave recovers y[2i+di, 2j+dj] = phase(di,dj)[i, j].
+
+    Used by the SD VAE decoder and LDM UNet up blocks (the hot upsample
+    sites of the DepthFM serving path; reference diffusers Upsample2D /
+    ldm openaimodel.py Upsample both do interpolate(nearest,2x)+conv).
+    Numerics: the fold sums kernel taps in f32 before the conv's usual
+    cast-to-x.dtype, so it matches the unfused op up to one rounding of
+    the folded weight (exact at f32/HIGHEST parity settings).
+    """
+    w = p["w"].astype(jnp.float32)  # [3,3,C,Cout]
+    if w.shape[:2] != (3, 3):
+        raise ValueError(f"fused_upsample2x_conv needs a 3x3 kernel, got "
+                         f"{w.shape}")
+    c_in, c_out = w.shape[2], w.shape[3]
+    # Row/col fold: F[d] maps kernel taps {0,1,2} onto low-res offsets {0,1}.
+    #   d=0: offset0 <- W[0],      offset1 <- W[1]+W[2]
+    #   d=1: offset0 <- W[0]+W[1], offset1 <- W[2]
+    def fold_rows(wk, d):  # wk: [3, ...] -> [2, ...]
+        if d == 0:
+            return jnp.stack([wk[0], wk[1] + wk[2]], axis=0)
+        return jnp.stack([wk[0] + wk[1], wk[2]], axis=0)
+
+    phases = []
+    for di in (0, 1):
+        for dj in (0, 1):
+            kr = fold_rows(w, di)                      # [2,3,C,Cout]
+            kc = fold_rows(kr.transpose(1, 0, 2, 3), dj)  # [2,2,C,Cout]
+            phases.append(kc.transpose(1, 0, 2, 3))    # [2,2,C,Cout]
+    kernel = jnp.concatenate(phases, axis=-1)          # [2,2,C,4*Cout]
+
+    b, h, wid, _ = x.shape
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],                      # -> [B,H+1,W+1,4Cout]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=dot_precision(x.dtype),
+    )
+    # phase(di,dj) lives at y[:, di:di+H, dj:dj+W, p*Cout:(p+1)*Cout]
+    parts = [y[:, di:di + h, dj:dj + wid, i * c_out:(i + 1) * c_out]
+             for i, (di, dj) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1)))]
+    out = jnp.stack(parts, axis=3)                     # [B,H,W,4,Cout]
+    out = out.reshape(b, h, wid, 2, 2, c_out)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * wid, c_out)
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
 
 
 def conv_transpose_same_stride(p: dict, x: jax.Array, *, k: int) -> jax.Array:

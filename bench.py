@@ -285,9 +285,73 @@ def bench_train():
     }))
 
 
+def bench_train_depthfm():
+    """AMODAL_BENCH_TRAIN=depthfm: jitted flow-matching train step for the
+    generative family (frozen VAE encode x3 + UNet fwd/bwd + Adam on the
+    UNet, donated state) at the reference recipe's shapes — full-size
+    DepthFMAmodal @512 (reference trains the UNet with the VAE frozen,
+    src/trainer/depthfm_amodal_trainer.py:65-71)."""
+    import time
+
+    import numpy as np
+
+    from amodal_depth_anything_tpu.models import get_model
+    from amodal_depth_anything_tpu.train import (DepthFMAmodalTrainer,
+                                                 TrainerConfig)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    size = 512 if on_tpu else 32
+    batch = int(os.environ.get("AMODAL_BENCH_BATCH", 4 if on_tpu else 2))
+    iters = 5 if on_tpu else 2
+
+    model = get_model("DepthFMAmodal", tiny=not on_tpu)
+    cfg = TrainerConfig(loss_strategy="entire_target_object",
+                        loss_name="l1_loss", loss_kwargs={},
+                        compute_dtype="bfloat16" if on_tpu else "float32",
+                        remat=False, attn_impl=None if on_tpu else "xla",
+                        validation_period=0, visualization_period=0,
+                        save_period=0)
+    trainer = DepthFMAmodalTrainer(cfg, model, train_loader=[])
+
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "rgb_norm": rng.standard_normal(
+            (batch, size, size, 3)).astype(np.float32),
+        "guide_rgb_norm": rng.standard_normal(
+            (batch, size, size, 3)).astype(np.float32),
+        "guide": (rng.random((batch, size, size, 1)) > 0.5
+                  ).astype(np.float32),
+        "depth_observation": rng.random((batch, size, size, 1)
+                                        ).astype(np.float32),
+        "depth_gt": rng.random((batch, size, size, 1)).astype(np.float32),
+        "valid_mask_raw": np.ones((batch, size, size, 1), np.float32),
+        "invisible_mask": (rng.random((batch, size, size, 1)) > 0.7
+                           ).astype(np.float32),
+    }
+    dev = trainer._device_batch(batch_np)
+
+    state, loss = trainer._train_step(trainer.state, dev)  # compile
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = trainer._train_step(state, dev)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+
+    print(json.dumps({
+        "metric": f"depthfm-amodal train step ms (@ {size}px, batch {batch}, "
+                  f"{cfg.compute_dtype})",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step",
+        "vs_baseline": round(batch / dt, 2),  # img/s/chip
+    }))
+
+
 def main():
     if os.environ.get("AMODAL_BENCH_DEPTHFM", "") == "1":
         return bench_depthfm()
+    if os.environ.get("AMODAL_BENCH_TRAIN", "") == "depthfm":
+        return bench_train_depthfm()
     if os.environ.get("AMODAL_BENCH_TRAIN", "") == "1":
         return bench_train()
     if os.environ.get("AMODAL_BENCH_HEURISTICS", "") == "1":

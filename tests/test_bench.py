@@ -57,6 +57,12 @@ def test_bench_train_mode():
     assert out["unit"] == "ms/step"
 
 
+def test_bench_train_depthfm_mode():
+    out = _run({"AMODAL_BENCH_TRAIN": "depthfm"})
+    assert out["unit"] == "ms/step"
+    assert "depthfm" in out["metric"]
+
+
 def test_bench_heuristics_mode():
     out = _run({"AMODAL_BENCH_HEURISTICS": "1"}, timeout=1200)
     assert "completions/sec" in out["unit"]

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from amodal_depth_anything_tpu.models import layers as L
 from amodal_depth_anything_tpu.ops.conv import (conv2d,
                                                 conv_transpose_same_stride,
+                                                fused_upsample2x_conv,
                                                 layer_norm_2d)
 from amodal_depth_anything_tpu.ops.flash_attention import mha_reference
 
@@ -81,6 +82,23 @@ def test_conv_transpose_same_stride_matches_torch(rng, k):
         jnp.asarray(x), k=k))
     t = F.conv_transpose2d(torch.from_numpy(np.moveaxis(x, -1, 1)),
                            torch.from_numpy(wt), torch.from_numpy(b), stride=k)
+    np.testing.assert_allclose(ours, np.moveaxis(t.numpy(), 1, -1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_upsample2x_conv_matches_torch(rng):
+    # nearest-2x + 3x3 SAME conv (diffusers Upsample2D / ldm Upsample) as
+    # one subpixel-decomposed low-res conv
+    ci, co = 6, 5
+    x = rng.standard_normal((2, 7, 9, ci), dtype=np.float32)
+    w = rng.standard_normal((3, 3, ci, co), dtype=np.float32) * 0.2
+    b = rng.standard_normal(co, dtype=np.float32)
+    ours = np.asarray(fused_upsample2x_conv(
+        {"w": jnp.asarray(w), "b": jnp.asarray(b)}, jnp.asarray(x)))
+    xt = torch.from_numpy(np.moveaxis(x, -1, 1))
+    t = F.conv2d(F.interpolate(xt, scale_factor=2.0, mode="nearest"),
+                 torch.from_numpy(w.transpose(3, 2, 0, 1)),
+                 torch.from_numpy(b), padding=1)
     np.testing.assert_allclose(ours, np.moveaxis(t.numpy(), 1, -1),
                                rtol=1e-4, atol=1e-5)
 
