@@ -211,6 +211,33 @@ def _build_invisible_stitch(*, loss_stategy: str | None = None,
                  apply=_apply)
 
 
+def _build_jo_unet(*, w: float = 4.0, depth: int = 4, in_channels: int = 3,
+                   n_classes: int = 2, tiny: bool = False,
+                   **_ignored) -> Model:
+    """jo_amodal plain U-Net family (reference `jo_amodal/unet/unet_model.py`
+    UNet/UNetD2/UNetD3 + the `unet025..unet4` width factories). Vestigial
+    baseline; params tree is {"params", "bn"} like the other BN models."""
+    from .jo_unet import JoUNetConfig, apply_jo_unet, init_jo_unet
+
+    if tiny:
+        w, depth = 0.25, 2
+    cfg = JoUNetConfig(in_channels=in_channels, n_classes=n_classes, w=w,
+                       depth=depth)
+
+    def _init(key):
+        p, bn = init_jo_unet(key, cfg)
+        return {"params": p, "bn": bn}
+
+    @functools.partial(jax.jit, static_argnames=("train",))
+    def _apply(tree, x, train=False, **_kw):
+        pred, _new_bn = apply_jo_unet(tree["params"], tree["bn"], cfg, x,
+                                      train=train)
+        return pred
+
+    return Model(name="JoUNet", config=cfg, init=jax.jit(_init),
+                 apply=_apply)
+
+
 MODEL_REGISTRY: dict[str, Callable[..., Model]] = {
     "AmodalDAv2": _build_amodal_dav2,
     "PartialCompletionContentDPT": _build_jo_dpt,
@@ -220,6 +247,7 @@ MODEL_REGISTRY: dict[str, Callable[..., Model]] = {
     "DepthFM": lambda **kw: _build_depthfm(**{**kw, "guide_type":
                                               kw.get("guide_type", "none")}),
     "ADDeepLab": _build_addeeplab,
+    "JoUNet": _build_jo_unet,
 }
 
 
