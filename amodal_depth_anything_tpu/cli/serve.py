@@ -22,6 +22,9 @@ API:
        -> {"base_depth": <b64 u16 png>, "blended_depth": <b64 u16 png>,
            "size": S}   (depth quantized [0,1] -> uint16, the repo's
                          16-bit output convention)
+  POST /v1/depthfm_depth     (--family depthfm) body {"image", "mask",
+       "observation": <b64 u16 png, depth in [0,1]>}
+       -> {"depth": <b64 u16 png>, "size": S}
 Inputs are host-resized to the pipeline's square `size` (image bilinear,
 mask nearest — the reference's own preprocessing geometry) so every
 request rides the same compiled program.
@@ -43,12 +46,25 @@ __all__ = ["build_parser", "build_server", "main"]
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU amodal-depth HTTP server")
+    p.add_argument("--family", type=str, default="amodal",
+                   choices=["amodal", "depthfm"],
+                   help="amodal = discriminative AmodalDepthPipeline; "
+                        "depthfm = generative DepthFMPipeline")
     p.add_argument("--serving_state", type=str, default=None,
-                   help="Dir from AmodalDepthPipeline.save_serving (restores "
-                        "the exact optimized state — no recalibration).")
+                   help="Dir from <pipeline>.save_serving (restores the "
+                        "exact optimized state — no recalibration).")
     p.add_argument("--base_ckpt", type=str, default=None)
     p.add_argument("--amodal_ckpt", type=str, default=None)
-    p.add_argument("--size", type=int, default=518)
+    p.add_argument("--depthfm_ckpt", type=str, default=None,
+                   help="(depthfm) torch depthfm-v1-style ckpt")
+    p.add_argument("--vae_ckpt", type=str, default=None,
+                   help="(depthfm) diffusers SD VAE weights")
+    p.add_argument("--num_steps", type=int, default=4,
+                   help="(depthfm) Euler ODE steps")
+    p.add_argument("--size", type=int, default=None,
+                   help="input square size (default: 518 amodal / 512 "
+                        "depthfm — the depthfm size must be divisible by "
+                        "the VAE factor 8)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--host", type=str, default="127.0.0.1")
@@ -71,6 +87,19 @@ def _depth_to_b64_png(depth: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+def _b64_depth_to_array(data: str, size: int) -> np.ndarray:
+    """b64 u16 png (depth in [0,1] x 65535) -> [size,size] float32 [0,1],
+    host-bilinear-resized like the image."""
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(data)))
+    arr = np.asarray(img).astype(np.float32)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    arr = arr / 65535.0
+    res = Image.fromarray(arr).resize((size, size), Image.BILINEAR)
+    return np.asarray(res, dtype=np.float32)
+
+
 def _prep(image: np.ndarray, mask: np.ndarray, size: int):
     """Host-resize to the one compiled square shape (image bilinear,
     mask nearest — reference infer.py:17,84-86 geometry)."""
@@ -87,16 +116,19 @@ def _prep(image: np.ndarray, mask: np.ndarray, size: int):
 
 
 def build_server(pipeline, host: str = "127.0.0.1", port: int = 0, *,
-                 max_batch: int = 8,
-                 max_delay_ms: float = 5.0) -> ThreadingHTTPServer:
+                 max_batch: int = 8, max_delay_ms: float = 5.0,
+                 family: str = "amodal") -> ThreadingHTTPServer:
     """Wrap a ready pipeline in a ThreadingHTTPServer + MicroBatcher.
     Caller runs `server.serve_forever()` (or a thread around it) and
-    `server.shutdown()`; `server.batcher` exposes dispatch counts."""
+    `server.shutdown()`; `server.batcher` exposes dispatch counts.
+    `family`: "amodal" (AmodalDepthPipeline, 2 outputs) or "depthfm"
+    (DepthFMPipeline image+mask+observation -> depth)."""
     from ..pipeline import MicroBatcher
 
     batcher = MicroBatcher(pipeline, max_batch=max_batch,
                            max_delay_ms=max_delay_ms)
     size = pipeline.size
+    route = "/v1/amodal_depth" if family == "amodal" else "/v1/depthfm_depth"
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -119,7 +151,7 @@ def build_server(pipeline, host: str = "127.0.0.1", port: int = 0, *,
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/v1/amodal_depth":
+            if self.path != route:
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -128,13 +160,19 @@ def build_server(pipeline, host: str = "127.0.0.1", port: int = 0, *,
                 image = _b64_png_to_array(req["image"])
                 mask = _b64_png_to_array(req["mask"])
                 img, msk = _prep(image, mask, size)
-                base, blended = batcher.infer(img, msk)
+                if family == "amodal":
+                    base, blended = batcher.infer(img, msk)
+                    payload = {"base_depth": _depth_to_b64_png(base),
+                               "blended_depth": _depth_to_b64_png(blended)}
+                else:
+                    obs = _b64_depth_to_array(req["observation"], size)
+                    depth = batcher.infer(img, msk, obs)
+                    payload = {"depth": _depth_to_b64_png(depth)}
             except Exception as e:  # noqa: BLE001 — surface to the client
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
-            self._json(200, {"base_depth": _depth_to_b64_png(base),
-                             "blended_depth": _depth_to_b64_png(blended),
-                             "size": size})
+            payload["size"] = size
+            self._json(200, payload)
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher
@@ -145,8 +183,20 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     import jax.numpy as jnp
 
-    from ..pipeline import AmodalDepthPipeline
-    if args.serving_state:
+    from ..pipeline import AmodalDepthPipeline, DepthFMPipeline
+    if args.size is None:
+        args.size = 512 if args.family == "depthfm" else 518
+    if args.family == "depthfm":
+        if args.serving_state:
+            pipe = DepthFMPipeline.load_serving(args.serving_state)
+        elif args.depthfm_ckpt and args.vae_ckpt:
+            pipe = DepthFMPipeline.from_checkpoints(
+                args.depthfm_ckpt, args.vae_ckpt, size=args.size,
+                num_steps=args.num_steps, dtype=jnp.dtype(args.dtype))
+        else:
+            raise SystemExit(
+                "need --serving_state or --depthfm_ckpt/--vae_ckpt")
+    elif args.serving_state:
         pipe = AmodalDepthPipeline.load_serving(args.serving_state)
     elif args.base_ckpt and args.amodal_ckpt:
         pipe = AmodalDepthPipeline.from_checkpoints(
@@ -157,7 +207,7 @@ def main(argv=None) -> None:
 
     server = build_server(pipe, args.host, args.port,
                           max_batch=args.max_batch,
-                          max_delay_ms=args.max_delay_ms)
+                          max_delay_ms=args.max_delay_ms, family=args.family)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(size={pipe.size}, max_batch={args.max_batch})", flush=True)
     try:

@@ -184,3 +184,71 @@ def test_http_serving_endpoint(rng):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+def test_http_serving_depthfm_family(rng):
+    """--family depthfm route: image+mask+observation -> depth PNG,
+    identical to a direct DepthFMPipeline call on the host-prepped
+    inputs."""
+    import base64
+    import io
+    import json
+    import urllib.error
+    import urllib.request
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.cli.serve import (build_server,
+                                                     _b64_depth_to_array,
+                                                     _prep)
+    from amodal_depth_anything_tpu.models import get_model
+    from amodal_depth_anything_tpu.pipeline import DepthFMPipeline
+
+    model = get_model("DepthFMAmodal", tiny=True)
+    params = model.init(jax.random.PRNGKey(0))
+    pipe = DepthFMPipeline(params, model.config, size=32, num_steps=2,
+                           attn_impl="xla")
+
+    server = build_server(pipe, port=0, max_batch=2, max_delay_ms=0,
+                          family="depthfm")
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    url = f"http://127.0.0.1:{port}"
+
+    def b64_png(arr, mode=None):
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode=mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    try:
+        image = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+        mask = ((rng.random((40, 48)) > 0.5) * 255).astype(np.uint8)
+        obs_u16 = (rng.random((40, 48)) * 65535).astype(np.uint16)
+        body = json.dumps({"image": b64_png(image), "mask": b64_png(mask),
+                           "observation": b64_png(obs_u16, mode="I;16"),
+                           }).encode()
+        req = urllib.request.Request(
+            f"{url}/v1/depthfm_depth", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            res = json.loads(r.read())
+        assert res["size"] == 32
+
+        img_p, msk_p = _prep(image.astype(np.float32), mask, 32)
+        obs_p = _b64_depth_to_array(b64_png(obs_u16, mode="I;16"), 32)
+        want = pipe(img_p, msk_p, obs_p)
+        want_u16 = (np.clip(want, 0, 1) * 65535).astype(np.uint16)
+        got = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(res["depth"]))))
+        np.testing.assert_array_equal(got.astype(np.uint16), want_u16)
+
+        # the amodal route must 404 on a depthfm server
+        bad = urllib.request.Request(f"{url}/v1/amodal_depth", data=body)
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        server.batcher.close()
