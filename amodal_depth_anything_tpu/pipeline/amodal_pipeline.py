@@ -105,7 +105,10 @@ class AmodalDepthPipeline:
     def __init__(self, params_raw, raw_cfg: DAV2Config, params_amodal,
                  amodal_cfg: DAV2Config, *, size: int = 518,
                  attn_impl: str | None = None, dtype=jnp.float32,
-                 mesh=None, cast: bool = True):
+                 mesh=None, cast: bool = True,
+                 base_token_merge: tuple[int, int] | None = None,
+                 amodal_token_merge: tuple[int, int] | None = None,
+                 head_batch_tile: int | None = None):
         """`mesh`: optional multi-chip serving mesh — both trunks' params
         are Megatron-TP sharded over its 'model' axis and the token
         streams constrained to it; one jit program then runs the whole
@@ -113,7 +116,14 @@ class AmodalDepthPipeline:
 
         `cast=False` keeps every param leaf's dtype exactly as passed
         (used by `load_serving`, whose trees are already in serving dtype
-        — possibly a mix of bf16 weights, int8 kernels, and f32 scales)."""
+        — possibly a mix of bf16 weights, int8 kernels, and f32 scales).
+
+        `base_token_merge` / `amodal_token_merge`: opt-in ToMe serving
+        configs `(after_layer, r)` per trunk (ops/token_merge.py) —
+        parity-breaking throughput knobs, same semantics as the bench's
+        AMODAL_TOME_* flags. `head_batch_tile`: process the DPT heads in
+        lax.map chunks of this batch size (exact; lifts the HBM ceiling
+        at batch > 8)."""
         if cast:
             to_dev = lambda t: jax.tree.map(
                 lambda a: jnp.asarray(a, dtype)
@@ -150,6 +160,9 @@ class AmodalDepthPipeline:
         self.size = size
         self.attn_impl = attn_impl
         self.dtype = dtype
+        self.base_token_merge = base_token_merge
+        self.amodal_token_merge = amodal_token_merge
+        self.head_batch_tile = head_batch_tile
 
     def quantize_int8(self, *, base: bool = True, amodal: bool = False,
                       head: bool = False, calibration=None,
@@ -285,6 +298,11 @@ class AmodalDepthPipeline:
             "size": self.size,
             "attn_impl": self.attn_impl,
             "dtype": jnp.dtype(self.dtype).name,
+            "base_token_merge": list(self.base_token_merge)
+            if self.base_token_merge else None,
+            "amodal_token_merge": list(self.amodal_token_merge)
+            if self.amodal_token_merge else None,
+            "head_batch_tile": self.head_batch_tile,
         })
 
     @classmethod
@@ -298,12 +316,20 @@ class AmodalDepthPipeline:
         layout, not the int8 scale leaves)."""
         from .serving_ckpt import cfg_from_dict, restore_serving_state
         trees, meta = restore_serving_state(path, expect_kind="amodal_dav2")
+        def _tm(key):
+            v = meta.get(key)
+            return tuple(int(x) for x in v) if v else None
+
+        tile = meta.get("head_batch_tile")
         return cls(trees["raw"], cfg_from_dict(DAV2Config, meta["raw_cfg"]),
                    trees["amodal"],
                    cfg_from_dict(DAV2Config, meta["amodal_cfg"]),
                    size=int(meta["size"]),
                    attn_impl=attn_impl or meta["attn_impl"],
-                   dtype=jnp.dtype(meta["dtype"]), mesh=mesh, cast=False)
+                   dtype=jnp.dtype(meta["dtype"]), mesh=mesh, cast=False,
+                   base_token_merge=_tm("base_token_merge"),
+                   amodal_token_merge=_tm("amodal_token_merge"),
+                   head_batch_tile=int(tile) if tile else None)
 
     @classmethod
     def from_checkpoints(cls, base_ckpt: str, amodal_ckpt: str, **kw):
@@ -348,6 +374,9 @@ class AmodalDepthPipeline:
             raw_cfg=self.raw_cfg, amodal_cfg=self.amodal_cfg,
             size=self.size, attn_impl=self.attn_impl,
             act_sharding=self.act_sharding,
+            base_token_merge=self.base_token_merge,
+            amodal_token_merge=self.amodal_token_merge,
+            head_batch_tile=self.head_batch_tile,
             base_image=None if base_image is None else
             dev(np.asarray(base_image, np.float32)))
         base, blended = np.asarray(base, np.float32), np.asarray(blended, np.float32)

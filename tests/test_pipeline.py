@@ -346,3 +346,38 @@ def test_pipeline_serving_save_load_roundtrip(rng, tmp_path):
     with pytest.raises(ValueError, match="expected 'depthfm'"):
         from amodal_depth_anything_tpu.pipeline import DepthFMPipeline
         DepthFMPipeline.load_serving(path)
+
+
+def test_pipeline_tome_knobs_and_serving_persistence(rng, tmp_path):
+    """First-class ToMe/head-tile pipeline knobs: outputs match the graph
+    called with the same kwargs, and save/load_serving persists them."""
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    amodal_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    params_raw = init_amodal_dav2(jax.random.PRNGKey(0), raw_cfg)
+    params_amodal = init_amodal_dav2(jax.random.PRNGKey(1), amodal_cfg)
+
+    img = (rng.random((80, 100, 3)) * 255).astype(np.float32)
+    mask = np.zeros((80, 100), np.float32)
+    mask[20:50, 30:70] = 1.0
+
+    pipe = AmodalDepthPipeline(params_raw, raw_cfg, params_amodal,
+                               amodal_cfg, size=56, attn_impl="xla",
+                               amodal_token_merge=(2, 6), head_batch_tile=1)
+    base, blend = pipe(img, mask)
+    want_base, want_blend = amodal_depth_graph(
+        pipe.params_raw, pipe.params_amodal,
+        jnp.asarray(img[None]), jnp.asarray(mask[None, ..., None]),
+        raw_cfg=raw_cfg, amodal_cfg=amodal_cfg, size=56, attn_impl="xla",
+        amodal_token_merge=(2, 6), head_batch_tile=1)
+    np.testing.assert_array_equal(base, np.asarray(want_base)[0])
+    np.testing.assert_array_equal(blend, np.asarray(want_blend)[0])
+
+    path = str(tmp_path / "serving_tome")
+    pipe.save_serving(path)
+    loaded = AmodalDepthPipeline.load_serving(path)
+    assert loaded.amodal_token_merge == (2, 6)
+    assert loaded.base_token_merge is None
+    assert loaded.head_batch_tile == 1
+    base2, blend2 = loaded(img, mask)
+    np.testing.assert_array_equal(base2, base)
+    np.testing.assert_array_equal(blend2, blend)
