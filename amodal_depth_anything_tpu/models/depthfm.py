@@ -138,7 +138,7 @@ def _conditioning(params, batch_size, dtype):
 
 def depthfm_train_outputs(params: dict, cfg: DepthFMConfig, rng, ims, depth, *,
                           guide_rgb=None, guide_mask=None, observation=None,
-                          attn_impl=None):
+                          attn_impl=None, remat=False):
     """ims: [B,H,W,3] in [-1,1]; depth: [B,H,W,1] in [0,1].
 
     Returns (model_pred, target) latents [B,h,w,4]."""
@@ -161,7 +161,7 @@ def depthfm_train_outputs(params: dict, cfg: DepthFMConfig, rng, ims, depth, *,
     target = x_1 - x_0
     model_pred = apply_unet(params["unet"], cfg.unet, x_t, t[:, 0, 0, 0],
                             context=cond_latent, context_ca=conditioning,
-                            attn_impl=attn_impl)
+                            attn_impl=attn_impl, remat=remat)
     return model_pred, target
 
 

@@ -390,13 +390,28 @@ def apply_unet(params: dict, cfg: UNetConfig, x: jax.Array, t: jax.Array,
                context: jax.Array | None = None,
                context_ca: jax.Array | None = None, *,
                attn_impl: str | None = None,
-               tome: tuple[float, int] | None = None) -> jax.Array:
+               tome: tuple[float, int] | None = None,
+               remat: bool = False) -> jax.Array:
     """x: [B,H,W,C_latent]; t: [B] in diffusion-time units; context is
     concatenated on channels (DepthFM conditioning); context_ca: [B,L,D]
     cross-attention conditioning (text embedding). tome=(ratio, min_tokens)
     enables ToMe-SD token merging in spatial-transformer blocks with at
-    least min_tokens tokens (opt-in serving; parity-breaking)."""
+    least min_tokens tokens (opt-in serving; parity-breaking).
+
+    `remat=True` recomputes each input/middle/output level in the
+    backward pass (`jax.checkpoint` per level) — the reference trains
+    the SD UNet with `use_checkpoint=True` (`openaimodel.py`
+    checkpoint() per block); level granularity keeps the skip tensors
+    `hs` live (they are consumed far from where they are produced, so
+    recomputing them would cascade)."""
     inp, mid, out = build_plan(cfg)
+
+    def level_fn(layers):
+        def run(p, h, emb, context_ca):
+            return _apply_layers(p, layers, h, emb, context_ca, cfg,
+                                 attn_impl, tome=tome)
+        return jax.checkpoint(run) if remat else run
+
     t_emb = timestep_embedding(t, cfg.model_channels)
     emb = _lin(params["time_embed"]["fc2"],
                jax.nn.silu(_lin(params["time_embed"]["fc1"],
@@ -404,14 +419,13 @@ def apply_unet(params: dict, cfg: UNetConfig, x: jax.Array, t: jax.Array,
     h = x if context is None else jnp.concatenate([x, context], axis=-1)
     hs = []
     for i, layers in enumerate(inp):
-        h = _apply_layers(params["input_blocks"][str(i)], layers, h, emb,
-                          context_ca, cfg, attn_impl, tome=tome)
+        h = level_fn(layers)(params["input_blocks"][str(i)], h, emb,
+                             context_ca)
         hs.append(h)
-    h = _apply_layers(params["middle_block"], mid, h, emb, context_ca, cfg,
-                      attn_impl, tome=tome)
+    h = level_fn(mid)(params["middle_block"], h, emb, context_ca)
     for i, layers in enumerate(out):
         h = jnp.concatenate([h, hs.pop()], axis=-1)
-        h = _apply_layers(params["output_blocks"][str(i)], layers, h, emb,
-                          context_ca, cfg, attn_impl, tome=tome)
+        h = level_fn(layers)(params["output_blocks"][str(i)], h, emb,
+                             context_ca)
     h = group_norm(params["out"]["norm"], h)
     return conv2d(params["out"]["conv"], jax.nn.silu(h), padding=1)

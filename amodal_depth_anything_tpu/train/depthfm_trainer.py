@@ -71,7 +71,7 @@ class DepthFMAmodalTrainer(DiscriminativeTrainer):
                 guide_rgb=batch["guide_rgb_norm"].astype(dtype),
                 guide_mask=batch["guide"].astype(dtype),
                 observation=batch["depth_observation"].astype(dtype),
-                attn_impl=cfg.attn_impl)
+                attn_impl=cfg.attn_impl, remat=bool(cfg.remat))
             pred = pred.astype(jnp.float32)
             target = target.astype(jnp.float32)
             valid_down, guide, invisible = _latent_masks(
@@ -224,7 +224,8 @@ class DepthFMTrainer(DepthFMAmodalTrainer):
                 (b,) + params["empty_text_embed"].shape[1:])
             pred = apply_unet(params["unet"], mcfg.unet, noisy,
                               t.astype(dtype), context=rgb_latent,
-                              context_ca=cond, attn_impl=cfg.attn_impl)
+                              context_ca=cond, attn_impl=cfg.attn_impl,
+                              remat=bool(cfg.remat))
             if pred_type == "sample":
                 target = gt_latent
             elif pred_type == "epsilon":

@@ -305,10 +305,13 @@ def bench_train_depthfm():
     iters = 5 if on_tpu else 2
 
     model = get_model("DepthFMAmodal", tiny=not on_tpu)
+    # remat=True mirrors the reference recipe (SD UNet trains with
+    # use_checkpoint=True); override with AMODAL_BENCH_REMAT=0
+    remat = os.environ.get("AMODAL_BENCH_REMAT", "1" if on_tpu else "0") == "1"
     cfg = TrainerConfig(loss_strategy="entire_target_object",
                         loss_name="l1_loss", loss_kwargs={},
                         compute_dtype="bfloat16" if on_tpu else "float32",
-                        remat=False, attn_impl=None if on_tpu else "xla",
+                        remat=remat, attn_impl=None if on_tpu else "xla",
                         validation_period=0, visualization_period=0,
                         save_period=0)
     trainer = DepthFMAmodalTrainer(cfg, model, train_loader=[])
@@ -340,7 +343,7 @@ def bench_train_depthfm():
 
     print(json.dumps({
         "metric": f"depthfm-amodal train step ms (@ {size}px, batch {batch}, "
-                  f"{cfg.compute_dtype})",
+                  f"{cfg.compute_dtype}, remat={cfg.remat})",
         "value": round(dt * 1e3, 1),
         "unit": "ms/step",
         "vs_baseline": round(batch / dt, 2),  # img/s/chip

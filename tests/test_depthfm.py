@@ -103,6 +103,31 @@ def test_depthfm_train_and_generate(rng):
     assert np.isfinite(g).all() and g.min() >= 0 and g.max() <= 1
 
 
+def test_unet_remat_grads_match(rng):
+    """remat=True (per-level jax.checkpoint, the reference's
+    use_checkpoint contract) must not change values or gradients."""
+    model = get_model("DepthFMAmodal", tiny=True)
+    params = model.init(jax.random.PRNGKey(0))
+    ims = jnp.asarray(rng.random((1, HW, HW, 3), dtype=np.float32)) * 2 - 1
+    depth = jnp.asarray(rng.random((1, HW, HW, 1), dtype=np.float32))
+    mask = jnp.ones((1, HW, HW, 1), jnp.float32)
+    obs = jnp.asarray(rng.random((1, HW, HW, 1), dtype=np.float32))
+
+    def loss(unet, remat):
+        p = {**params, "unet": unet}
+        pred, target = model.apply(p, ims, rng=jax.random.PRNGKey(1),
+                                   mode="train", depth=depth,
+                                   guide_mask=mask, observation=obs,
+                                   attn_impl="xla", remat=remat)
+        return jnp.mean((pred - target) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda u: loss(u, False))(params["unet"])
+    l1, g1 = jax.value_and_grad(lambda u: loss(u, True))(params["unet"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
+
+
 def test_depthfm_conv_in_zero_guidance_channels():
     model = get_model("DepthFMAmodal", tiny=True)
     params = model.init(jax.random.PRNGKey(0))
