@@ -88,14 +88,16 @@ def _depth_to_b64_png(depth: np.ndarray) -> str:
 
 
 def _b64_depth_to_array(data: str, size: int) -> np.ndarray:
-    """b64 u16 png (depth in [0,1] x 65535) -> [size,size] float32 [0,1],
-    host-bilinear-resized like the image."""
+    """b64 depth png -> [size,size] float32 [0,1], host-bilinear-resized
+    like the image. Scales by the SOURCE bit depth (u16 -> /65535,
+    u8 -> /255) so an 8-bit observation isn't silently crushed to ~0."""
     from PIL import Image
     img = Image.open(io.BytesIO(base64.b64decode(data)))
     arr = np.asarray(img).astype(np.float32)
     if arr.ndim == 3:
         arr = arr[..., 0]
-    arr = arr / 65535.0
+    denom = 65535.0 if np.asarray(img).dtype.itemsize > 1 else 255.0
+    arr = np.clip(arr / denom, 0.0, 1.0)
     res = Image.fromarray(arr).resize((size, size), Image.BILINEAR)
     return np.asarray(res, dtype=np.float32)
 
@@ -186,6 +188,9 @@ def main(argv=None) -> None:
     from ..pipeline import AmodalDepthPipeline, DepthFMPipeline
     if args.size is None:
         args.size = 512 if args.family == "depthfm" else 518
+    if args.family == "depthfm" and args.size % 8 != 0:
+        raise SystemExit(f"--size {args.size} must be divisible by the VAE "
+                         f"factor 8 for --family depthfm")
     if args.family == "depthfm":
         if args.serving_state:
             pipe = DepthFMPipeline.load_serving(args.serving_state)

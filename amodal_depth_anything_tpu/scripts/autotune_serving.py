@@ -94,14 +94,79 @@ def candidate_configs(family: str, include_calibrated: bool = False):
     return ["bf16", "int8_dynamic", "tome_0.75", "int8_dynamic+tome_0.75"]
 
 
-def _build_amodal(args, name):
-    import jax
-    import jax.numpy as jnp
+def _default_size(args) -> int:
+    """The ONE place the per-family default resolution lives."""
+    if args.family == "amodal":
+        return 56 if args.random else 518
+    return 32 if args.random else 512
 
+
+def _load_amodal(args):
+    """Load/convert (or seed) the exact param trees ONCE; every candidate
+    pipeline is constructed from these shared host trees (quantize_int8
+    builds new arrays, it never mutates its input)."""
+    import jax
+
+    if args.random:
+        from ..models.amodal_dav2 import DAV2Config, init_amodal_dav2
+        raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+        am_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+        p_raw = jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(
+            jax.random.PRNGKey(args.seed))
+        # random init leaves the raw ReLU head flat-0 (bench.py does the
+        # same live bias) — a degenerate base makes every delta vacuous
+        conv2 = p_raw["depth_head"]["scratch"]["output_conv2"]["conv2"]
+        conv2["b"] = conv2["b"] + 1.0
+        p_am = jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(
+            jax.random.PRNGKey(args.seed + 1))
+        return p_raw, raw_cfg, p_am, am_cfg
+
+    import os
+
+    from ..convert.torch_to_jax import (convert_dav2, infer_dav2_config,
+                                        load_state_dict)
+    amodal_ckpt = args.amodal_ckpt
+    if os.path.isdir(amodal_ckpt):
+        amodal_ckpt = os.path.join(amodal_ckpt, "model.safetensors")
+    sd_raw = load_state_dict(args.base_ckpt)
+    raw_cfg = infer_dav2_config(sd_raw, raw=True)
+    sd_am = load_state_dict(amodal_ckpt)
+    am_cfg = infer_dav2_config(sd_am)
+    return (convert_dav2(sd_raw, raw_cfg), raw_cfg,
+            convert_dav2(sd_am, am_cfg), am_cfg)
+
+
+def _load_depthfm(args):
+    import jax
+
+    if args.random:
+        from ..models import get_model
+        model = get_model("DepthFMAmodal", tiny=True)
+        params = model.init(jax.random.PRNGKey(args.seed))
+        # zero-init UNet out conv makes optimized-vs-exact deltas vacuous
+        # on random weights; jitter it (same trick as bench.py's
+        # AMODAL_QUALITY mode)
+        w = params["unet"]["out"]["conv"]["w"]
+        params["unet"]["out"]["conv"]["w"] = w + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(7), w.shape, w.dtype)
+        return params, model.config
+    from ..pipeline import DepthFMPipeline
+    probe = DepthFMPipeline.from_checkpoints(args.depthfm_ckpt,
+                                             args.vae_ckpt, size=args.size,
+                                             dtype=jnp_dtype(args))
+    return probe.params, probe.cfg
+
+
+def jnp_dtype(args):
+    import jax.numpy as jnp
+    return jnp.dtype(args.dtype)
+
+
+def _build_amodal(args, name, loaded):
     from ..pipeline import AmodalDepthPipeline
 
-    size = args.size or (56 if args.random else 518)
-    dtype = jnp.dtype(args.dtype)
+    p_raw, raw_cfg, p_am, am_cfg = loaded
+    size = args.size
 
     def tm(frac, late):
         from ..models.amodal_dav2 import DAV2Config
@@ -115,25 +180,8 @@ def _build_amodal(args, name):
         kw["base_token_merge"] = tm(0.45, late=False)
         kw["amodal_token_merge"] = tm(0.45, late=False)
 
-    if args.random:
-        from ..models.amodal_dav2 import DAV2Config, init_amodal_dav2
-        raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
-        am_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
-        p_raw = jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(
-            jax.random.PRNGKey(args.seed))
-        # random init leaves the raw ReLU head flat-0 (bench.py does the
-        # same live bias) — a degenerate base makes every delta vacuous
-        conv2 = p_raw["depth_head"]["scratch"]["output_conv2"]["conv2"]
-        conv2["b"] = conv2["b"] + 1.0
-        pipe = AmodalDepthPipeline(
-            p_raw, raw_cfg,
-            jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(
-                jax.random.PRNGKey(args.seed + 1)),
-            am_cfg, size=size, dtype=dtype, attn_impl=None, **kw)
-    else:
-        pipe = AmodalDepthPipeline.from_checkpoints(
-            args.base_ckpt, args.amodal_ckpt, size=size, dtype=dtype, **kw)
-
+    pipe = AmodalDepthPipeline(p_raw, raw_cfg, p_am, am_cfg, size=size,
+                               dtype=jnp_dtype(args), attn_impl=None, **kw)
     if "int8_dynamic" in name:
         pipe.quantize_int8(base=True, amodal=True, head=True, dynamic=True)
     elif "int8_calib" in name:
@@ -144,35 +192,17 @@ def _build_amodal(args, name):
     return pipe
 
 
-def _build_depthfm(args, name):
-    import jax
-    import jax.numpy as jnp
-
+def _build_depthfm(args, name, loaded):
     from ..pipeline import DepthFMPipeline
 
-    size = args.size or (32 if args.random else 512)
-    dtype = jnp.dtype(args.dtype)
+    params, cfg = loaded
     # tiny presets have ~16-token transformer levels; (0.4, 8) keeps the
     # merge legal there (same shape the bench smoke uses)
     tome = ((0.75, 4096) if not args.random else (0.4, 8)) \
         if "tome" in name else None
-
-    if args.random:
-        from ..models import get_model
-        model = get_model("DepthFMAmodal", tiny=True)
-        params = model.init(jax.random.PRNGKey(args.seed))
-        # zero-init UNet out conv makes optimized-vs-exact deltas vacuous
-        # on random weights; jitter it (same trick as bench.py's
-        # AMODAL_QUALITY mode)
-        w = params["unet"]["out"]["conv"]["w"]
-        params["unet"]["out"]["conv"]["w"] = w + 0.01 * jax.random.normal(
-            jax.random.PRNGKey(7), w.shape, w.dtype)
-        pipe = DepthFMPipeline(params, model.config, size=size, num_steps=2,
-                               dtype=dtype, tome=tome)
-    else:
-        pipe = DepthFMPipeline.from_checkpoints(
-            args.depthfm_ckpt, args.vae_ckpt, size=size, dtype=dtype,
-            tome=tome)
+    pipe = DepthFMPipeline(params, cfg, size=args.size, num_steps=2
+                           if args.random else 4, dtype=jnp_dtype(args),
+                           tome=tome)
     if "int8_dynamic" in name:
         pipe.quantize_int8()
     return pipe
@@ -198,12 +228,12 @@ def _corpus(args, size):
 
 def _measure(call, reps):
     call()  # compile + warm
-    times = []
+    times, out = [], None
     for _ in range(reps):
         t0 = time.perf_counter()
-        call()
+        out = call()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)), out
 
 
 def run_autotune(args) -> dict:
@@ -217,11 +247,18 @@ def run_autotune(args) -> dict:
         names = [n for n in names if n in keep]
     if names[0] != "bf16":
         names = ["bf16"] + names  # the exact reference point is mandatory
+    if args.quality_budget < 0:
+        raise SystemExit("--quality_budget must be >= 0 (0 = exact only)")
 
+    if args.size is None:
+        args.size = _default_size(args)
+    if args.family == "depthfm" and args.size % 8 != 0:
+        raise SystemExit(f"--size {args.size} must be divisible by the VAE "
+                         f"factor 8 for --family depthfm")
+    size = args.size
     build = _build_amodal if args.family == "amodal" else _build_depthfm
-    size = args.size or ((56 if args.random else 518)
-                         if args.family == "amodal"
-                         else (32 if args.random else 512))
+    loaded = (_load_amodal if args.family == "amodal" else _load_depthfm)(
+        args)
     img, msk = _corpus(args, size)
     if args.family == "depthfm":
         rng = np.random.default_rng(args.seed + 1)
@@ -229,13 +266,12 @@ def run_autotune(args) -> dict:
 
     rows, exact_out = [], None
     for name in names:
-        pipe = build(args, name)
+        pipe = build(args, name, loaded)
         if args.family == "amodal":
             call = lambda: pipe(img, msk)
         else:
             call = lambda: pipe(img, msk, obs)
-        dt = _measure(call, args.reps)
-        out = call()
+        dt, out = _measure(call, args.reps)
         if name == "bf16":
             exact_out = out
             delta = {"max_abs": 0.0, "mean_abs": 0.0}
@@ -258,7 +294,7 @@ def run_autotune(args) -> dict:
         })
 
     passing = [r for r in rows if r["passes_budget"]]
-    best = max(passing, key=lambda r: r["img_per_sec"])
+    best = max(passing, key=lambda r: r["img_per_sec"]) if passing else None
     report = {
         "family": args.family,
         "batch": args.batch,
@@ -267,8 +303,8 @@ def run_autotune(args) -> dict:
         "quality_budget": args.quality_budget,
         "random_weights": bool(args.random),
         "rows": rows,
-        "best": best["config"],
-        "best_img_per_sec": best["img_per_sec"],
+        "best": best["config"] if best else None,
+        "best_img_per_sec": best["img_per_sec"] if best else None,
     }
     return report
 

@@ -38,6 +38,15 @@ from .trainer import DiscriminativeTrainer, TrainerConfig
 __all__ = ["DepthFMAmodalTrainer", "DepthFMTrainer"]
 
 
+def _unet_remat(cfg: TrainerConfig) -> bool:
+    """UNet-level jax.checkpoint only when remat is explicitly boolean
+    True: TrainerConfig.remat defaults to "attn" (a DISCRIMINATIVE-path
+    policy naming Pallas attention residuals, trainer.py) which has no
+    meaning for the LDM UNet — treating it as truthy would silently turn
+    full per-level recompute on for every default-configured DepthFM run."""
+    return cfg.remat is True
+
+
 def _latent_masks(batch, cfg: TrainerConfig, latent_hw, vae_factor: int):
     valid = batch[cfg.gt_mask_type] > 0
     invalid = jnp.logical_not(valid).astype(jnp.float32)
@@ -71,7 +80,7 @@ class DepthFMAmodalTrainer(DiscriminativeTrainer):
                 guide_rgb=batch["guide_rgb_norm"].astype(dtype),
                 guide_mask=batch["guide"].astype(dtype),
                 observation=batch["depth_observation"].astype(dtype),
-                attn_impl=cfg.attn_impl, remat=bool(cfg.remat))
+                attn_impl=cfg.attn_impl, remat=_unet_remat(cfg))
             pred = pred.astype(jnp.float32)
             target = target.astype(jnp.float32)
             valid_down, guide, invisible = _latent_masks(
@@ -225,7 +234,7 @@ class DepthFMTrainer(DepthFMAmodalTrainer):
             pred = apply_unet(params["unet"], mcfg.unet, noisy,
                               t.astype(dtype), context=rgb_latent,
                               context_ca=cond, attn_impl=cfg.attn_impl,
-                              remat=bool(cfg.remat))
+                              remat=_unet_remat(cfg))
             if pred_type == "sample":
                 target = gt_latent
             elif pred_type == "epsilon":
