@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--img_dropout", type=float, default=None)
     p.add_argument("--max_iter", type=int, default=None)
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="Tensor-parallel degree (mesh 'model' axis); "
+                        "remaining devices go to the 'data' axis")
+    p.add_argument("--mesh_pipe", type=int, default=1,
+                   help="Pipeline-parallel degree (mesh 'pipe' axis)")
     return p
 
 
@@ -168,7 +173,8 @@ def main(argv=None) -> None:
                    project=wcfg.get("project") if wcfg else None,
                    name=ts, config=cfg.to_dict() if wcfg else None)
 
-    mesh = make_mesh()
+    from ..parallel import MeshConfig
+    mesh = make_mesh(MeshConfig(model=args.mesh_model, pipe=args.mesh_pipe))
     n_data = mesh.shape["data"]
     eff_bs = int(cfg.dataloader.effective_batch_size)
     max_bs = int(cfg.dataloader.max_train_batch_size)

@@ -198,6 +198,24 @@ def test_train_cli_smoke(sam_tree, tmp_path, monkeypatch):
     assert (runs[0] / "checkpoint" / "latest").exists()
 
 
+def test_train_cli_tp_mesh(sam_tree, tmp_path):
+    """--mesh_model wires a tensor-parallel axis through the CLI (the
+    mesh was previously hardwired to all-data)."""
+    root, _ = sam_tree
+    from amodal_depth_anything_tpu.cli import train as train_cli
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "smoke_synthetic_vitt.yaml")
+    train_cli.main([
+        "--config", cfg_path,
+        "--base_data_dir", root,
+        "--output_dir", str(tmp_path / "out_tp"),
+        "--no_wandb", "--mesh_model", "2", "--max_iter", "1",
+    ])
+    runs = list((tmp_path / "out_tp" / "smoke_synthetic_vitt").iterdir())
+    assert runs and (runs[0] / "checkpoint" / "latest").exists()
+
+
 def test_step_timer_and_profiler_wiring(sam_tree, tmp_path):
     """The trainer times every step and captures a jax.profiler trace for
     the configured window (reference has no profiler at all, SURVEY §5.1)."""
