@@ -103,6 +103,25 @@ def test_fused_upsample2x_conv_matches_torch(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_upsample2x_conv_bf16_bounded(rng):
+    # serving dtype: the fold sums taps in f32 before the cast, so the
+    # bf16 deviation vs the unfused op stays within ~1 ulp of the
+    # folded weights — assert a tight bound relative to output scale
+    from amodal_depth_anything_tpu.ops.conv import conv2d
+    from amodal_depth_anything_tpu.ops.resize import resize_nearest
+    ci, co = 8, 8
+    p = {"w": jnp.asarray(rng.standard_normal((3, 3, ci, co),
+                                              dtype=np.float32) * 0.2),
+         "b": jnp.asarray(rng.standard_normal(co).astype(np.float32))}
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, ci), dtype=np.float32),
+                    jnp.bfloat16)
+    fused = np.float32(fused_upsample2x_conv(p, x))
+    ref = np.float32(conv2d(p, resize_nearest(x, scale_factor=2.0),
+                            padding=1))
+    scale = np.abs(ref).max()
+    assert np.abs(fused - ref).max() <= 0.02 * scale
+
+
 def test_channel_layernorm_2d_matches_torch(rng):
     # reference dpt.py:37-61 channels_first LayerNorm over C
     c = 12
