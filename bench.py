@@ -34,6 +34,30 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
 
 import jax.numpy as jnp
 
+# The axon TPU tunnel can wedge for hours (CLAUDE.md): a hung backend
+# init would stall the caller forever, and signal-based deadlines can't
+# interrupt a blocking C call. Probe the device in a SUBPROCESS under a
+# hard timeout and fail FAST (nonzero exit, no JSON line — a zero-value
+# line would be recorded as a real measurement). Skipped on forced-CPU
+# runs; ~30 s extra client init on a healthy TPU, a bounded abort on a
+# wedged one. AMODAL_BENCH_NO_PROBE=1 disables.
+if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
+        and os.environ.get("AMODAL_BENCH_NO_PROBE", "") != "1"):
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((8,)))))"],
+            timeout=300, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        raise SystemExit("bench: TPU probe exceeded 300 s (tunnel down?) — "
+                         "aborting without a number")
+    except subprocess.CalledProcessError as e:
+        raise SystemExit("bench: TPU probe failed: "
+                         + e.stderr.decode(errors="replace")[-500:])
+
 A100_PYTORCH_EST_IMG_PER_SEC = 4.3
 # DepthFM anchor: SD-1.5-size UNet x4 steps + VAE encode/decode at 512px
 # on A100 fp16/diffusers runs ~3 img/s (UNet ~40-65 ms/step + VAE); the
