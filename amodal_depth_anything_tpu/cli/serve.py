@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serving_state", type=str, default=None,
                    help="Dir from <pipeline>.save_serving (restores the "
                         "exact optimized state — no recalibration).")
+    p.add_argument("--random", action="store_true",
+                   help="Seeded random tiny-preset weights — serve without "
+                        "checkpoints (demo/smoke mode)")
     p.add_argument("--base_ckpt", type=str, default=None)
     p.add_argument("--amodal_ckpt", type=str, default=None)
     p.add_argument("--depthfm_ckpt", type=str, default=None,
@@ -183,15 +186,45 @@ def build_server(pipeline, host: str = "127.0.0.1", port: int = 0, *,
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    import os
+
+    import jax
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the axon TPU plugin ignores the env var; force it (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ..pipeline import AmodalDepthPipeline, DepthFMPipeline
     if args.size is None:
-        args.size = 512 if args.family == "depthfm" else 518
+        if args.random:
+            args.size = 32 if args.family == "depthfm" else 56
+        else:
+            args.size = 512 if args.family == "depthfm" else 518
     if args.family == "depthfm" and args.size % 8 != 0:
         raise SystemExit(f"--size {args.size} must be divisible by the VAE "
                          f"factor 8 for --family depthfm")
-    if args.family == "depthfm":
+    if args.random:
+        import jax
+
+        if args.family == "depthfm":
+            from ..models import get_model
+            model = get_model("DepthFMAmodal", tiny=True)
+            pipe = DepthFMPipeline(model.init(jax.random.PRNGKey(0)),
+                                   model.config, size=args.size, num_steps=2,
+                                   attn_impl="xla")
+        else:
+            from ..models.amodal_dav2 import DAV2Config, init_amodal_dav2
+            raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+            am_cfg = DAV2Config(encoder="vitt",
+                                guide_type="mask+observation")
+            pipe = AmodalDepthPipeline(
+                jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(
+                    jax.random.PRNGKey(0)),
+                raw_cfg,
+                jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(
+                    jax.random.PRNGKey(1)),
+                am_cfg, size=args.size, attn_impl="xla")
+    elif args.family == "depthfm":
         if args.serving_state:
             pipe = DepthFMPipeline.load_serving(args.serving_state)
         elif args.depthfm_ckpt and args.vae_ckpt:

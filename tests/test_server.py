@@ -186,6 +186,43 @@ def test_http_serving_endpoint(rng):
         server.batcher.close()
 
 
+def test_serve_cli_random_subprocess():
+    """cli.serve --random: the full main() path (arg parsing, pipeline
+    build, server bring-up) as a real subprocess, polled via /healthz."""
+    import json
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_cpu_parallel_codegen_split_count=1")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "amodal_depth_anything_tpu.cli.serve",
+         "--random", "--port", "0", "--max_batch", "1"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        line = ""
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving on" in line:
+                break
+            assert proc.poll() is None, "server exited early"
+        m = re.search(r":(\d+)", line)
+        assert m, f"no port in startup line: {line!r}"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{m.group(1)}/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["size"] == 56
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_http_serving_depthfm_family(rng):
     """--family depthfm route: image+mask+observation -> depth PNG,
     identical to a direct DepthFMPipeline call on the host-prepped
