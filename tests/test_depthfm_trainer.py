@@ -214,3 +214,29 @@ def test_ddpm_trainer_plain_depth_validation(tmp_path):
     assert np.isfinite(val)
     # no amodal keys -> no difficulty buckets populated
     assert np.isnan(res["align_easy"]["abs_relative_difference"])
+
+
+def test_depthfm_trainer_remat_true_steps(tmp_path):
+    """remat=True threads per-level UNet checkpointing through the jitted
+    train step (the wiring, not just the math — see
+    test_unet_remat_grads_match for value equality)."""
+    import os
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    list_path = make_synthetic_sam_tree(root, n=2, hw=32)
+    train_ds = SAMAmodalDataset(mode=DatasetMode.TRAIN,
+                                filename_ls_path=list_path, dataset_dir=root,
+                                resize_to_hw=(32, 32))
+    loader = DataLoader(train_ds, batch_size=2, drop_last=True)
+
+    model = get_model("DepthFMAmodal", tiny=True)
+    cfg = TrainerConfig(loss_strategy="entire_target_object",
+                        loss_name="l1_loss", loss_kwargs={}, max_iter=1,
+                        lr_warmup_steps=0, validation_period=0,
+                        visualization_period=0, save_period=0,
+                        compute_dtype="float32", remat=True,
+                        attn_impl="xla")
+    mesh = make_mesh(MeshConfig(data=2, model=1), devices=jax.devices()[:2])
+    trainer = DepthFMAmodalTrainer(cfg, model, loader, mesh=mesh)
+    trainer.train()
+    assert trainer.effective_iter == 1
