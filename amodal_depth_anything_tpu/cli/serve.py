@@ -204,26 +204,11 @@ def main(argv=None) -> None:
         raise SystemExit(f"--size {args.size} must be divisible by the VAE "
                          f"factor 8 for --family depthfm")
     if args.random:
-        import jax
-
         if args.family == "depthfm":
-            from ..models import get_model
-            model = get_model("DepthFMAmodal", tiny=True)
-            pipe = DepthFMPipeline(model.init(jax.random.PRNGKey(0)),
-                                   model.config, size=args.size, num_steps=2,
-                                   attn_impl="xla")
+            pipe = DepthFMPipeline.init_random(None, size=args.size,
+                                               num_steps=args.num_steps)
         else:
-            from ..models.amodal_dav2 import DAV2Config, init_amodal_dav2
-            raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
-            am_cfg = DAV2Config(encoder="vitt",
-                                guide_type="mask+observation")
-            pipe = AmodalDepthPipeline(
-                jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(
-                    jax.random.PRNGKey(0)),
-                raw_cfg,
-                jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(
-                    jax.random.PRNGKey(1)),
-                am_cfg, size=args.size, attn_impl="xla")
+            pipe = AmodalDepthPipeline.init_random(None, size=args.size)
     elif args.family == "depthfm":
         if args.serving_state:
             pipe = DepthFMPipeline.load_serving(args.serving_state)

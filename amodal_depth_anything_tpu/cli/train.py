@@ -42,9 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_iter", type=int, default=None)
     p.add_argument("--mesh_model", type=int, default=1,
                    help="Tensor-parallel degree (mesh 'model' axis); "
-                        "remaining devices go to the 'data' axis")
-    p.add_argument("--mesh_pipe", type=int, default=1,
-                   help="Pipeline-parallel degree (mesh 'pipe' axis)")
+                        "remaining devices go to the 'data' axis. GPipe "
+                        "pipeline parallelism is a library-level feature "
+                        "(parallel/pipeline.py) — the trainers do not "
+                        "schedule a 'pipe' axis.")
     return p
 
 
@@ -98,6 +99,15 @@ def trainer_config_from_cfg(cfg, accumulation_steps: int):
         if tcfg else 10000,
         log_interval=int(logg.get("log_interval", 200)) if logg else 200,
         compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+        # sharding knobs (docs/SCALING.md): accepted at top level or under
+        # trainer:
+        fsdp=bool(cfg.get("fsdp", tcfg.get("fsdp", False) if tcfg
+                          else False)),
+        sequence_parallel=bool(cfg.get(
+            "sequence_parallel",
+            tcfg.get("sequence_parallel", False) if tcfg else False)),
+        remat=cfg.get("remat", tcfg.get("remat", "attn") if tcfg
+                      else "attn"),
     )
 
 
@@ -174,7 +184,7 @@ def main(argv=None) -> None:
                    name=ts, config=cfg.to_dict() if wcfg else None)
 
     from ..parallel import MeshConfig
-    mesh = make_mesh(MeshConfig(model=args.mesh_model, pipe=args.mesh_pipe))
+    mesh = make_mesh(MeshConfig(model=args.mesh_model))
     n_data = mesh.shape["data"]
     eff_bs = int(cfg.dataloader.effective_batch_size)
     max_bs = int(cfg.dataloader.max_train_batch_size)

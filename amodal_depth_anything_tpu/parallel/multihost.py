@@ -33,13 +33,44 @@ __all__ = ["initialize", "is_main_process", "process_index", "process_count",
 _INITIALIZED = False
 
 
+def _derive_slurm_coordinator() -> str | None:
+    """Multi-task SLURM launch without an explicit coordinator: use the
+    first node of the job's nodelist (the conventional torch/JAX SLURM
+    pattern; `scontrol` ships with every SLURM cluster). Port from
+    JAX_COORDINATOR_PORT (default 56207). Returns None off-SLURM, on
+    single-task jobs, or when the nodelist can't be expanded."""
+    import subprocess
+
+    if int(os.environ.get("SLURM_NTASKS", "1")) < 2:
+        return None
+    nodelist = (os.environ.get("SLURM_JOB_NODELIST")
+                or os.environ.get("SLURM_NODELIST"))
+    if not nodelist:
+        return None
+    try:
+        first = subprocess.run(
+            ["scontrol", "show", "hostnames", nodelist],
+            capture_output=True, text=True, timeout=10,
+            check=True).stdout.splitlines()[0].strip()
+    except Exception:  # noqa: BLE001 — fall back to requiring the env var
+        import logging
+        logging.warning(
+            "SLURM multi-task launch detected but the coordinator could "
+            "not be derived from %r; set JAX_COORDINATOR_ADDRESS "
+            "explicitly or each host will train independently", nodelist)
+        return None
+    port = os.environ.get("JAX_COORDINATOR_PORT", "56207")
+    return f"{first}:{port}"
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> bool:
     """Bring up the multi-process runtime if this looks like a multi-host
     launch; returns True iff `jax.distributed.initialize` ran.
 
-    Detection order: explicit args > JAX_COORDINATOR_ADDRESS env (with
+    Detection order: explicit args > JAX_COORDINATOR_ADDRESS env >
+    SLURM nodelist derivation (`_derive_slurm_coordinator`, with
     SLURM_{NTASKS,PROCID} — the reference's SLURM pattern,
     slurm_util.py:6-14) > TPU-pod autodetection is left to JAX itself
     (calling initialize() with no args on a pod also works, but we only
@@ -50,6 +81,8 @@ def initialize(coordinator_address: str | None = None,
         return False
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        coordinator_address = _derive_slurm_coordinator()
     if coordinator_address is None:
         return False
     if num_processes is None:

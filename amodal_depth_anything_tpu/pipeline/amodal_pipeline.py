@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.amodal_dav2 import (DAV2Config, apply_amodal_dav2,
-                                  apply_raw_dav2)
+                                  apply_raw_dav2, init_amodal_dav2)
 from ..ops.blend import median_filter_blend
 from ..ops.resize import resize2d, resize_nearest
 
@@ -330,6 +330,24 @@ class AmodalDepthPipeline:
                    base_token_merge=_tm("base_token_merge"),
                    amodal_token_merge=_tm("amodal_token_merge"),
                    head_batch_tile=int(tile) if tile else None)
+
+    @classmethod
+    def init_random(cls, key, *, encoder: str = "vitt", size: int = 56,
+                    attn_impl: str | None = "xla", **kw):
+        """Seeded random-weight pipeline (tiny preset by default) — the
+        no-checkpoint demo/smoke constructor shared by `cli.serve
+        --random`, `examples/quickstart_random.py` and the driver
+        dryrun. Outputs are meaningless; every seam is real."""
+        import jax
+
+        raw_cfg = DAV2Config(encoder=encoder, guide_type="none", raw=True)
+        am_cfg = DAV2Config(encoder=encoder, guide_type="mask+observation")
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0) if key is None
+                                  else key)
+        return cls(
+            jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(k1), raw_cfg,
+            jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(k2), am_cfg,
+            size=size, attn_impl=attn_impl, **kw)
 
     @classmethod
     def from_checkpoints(cls, base_ckpt: str, amodal_ckpt: str, **kw):

@@ -111,6 +111,20 @@ class DepthFMPipeline:
         self._plain_graph = _plain_graph
 
     @classmethod
+    def init_random(cls, key, *, size: int = 32, num_steps: int = 2,
+                    attn_impl: str | None = "xla", **kw):
+        """Seeded random-weight tiny-preset pipeline — the no-checkpoint
+        demo/smoke constructor (see AmodalDepthPipeline.init_random)."""
+        import jax
+
+        from ..models import get_model
+        model = get_model("DepthFMAmodal", tiny=True)
+        return cls(model.init(jax.random.PRNGKey(0) if key is None
+                              else key),
+                   model.config, size=size, num_steps=num_steps,
+                   attn_impl=attn_impl, **kw)
+
+    @classmethod
     def from_checkpoints(cls, depthfm_ckpt: str, vae_ckpt: str, *,
                          guide_type: str = "mask+observation",
                          cfg_overrides: dict | None = None, **kw):

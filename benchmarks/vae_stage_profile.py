@@ -68,14 +68,17 @@ stages = [
 key = jax.random.PRNGKey(1)
 for name, fn, shape in stages:
     x = jax.random.normal(key, shape, jnp.bfloat16)
-    jf = jax.jit(fn)
+    # fold the scalar sync INTO the jit program: eager sum/astype cost
+    # ~0.8 s/op through the tunnel and would dominate ms-scale kernels
+    jf = jax.jit(lambda a, f=fn: jnp.sum(f(a)).astype(jnp.float32))
     t0 = time.time()
-    float(jnp.sum(jf(x)).astype(jnp.float32))  # compile+run
+    float(jf(x))  # compile+run
     tc = time.time() - t0
-    reps = 5
+    reps = 10
     t0 = time.time()
-    acc = 0.0
+    out = None
     for _ in range(reps):
-        acc += float(jnp.sum(jf(x)).astype(jnp.float32))
+        out = jf(x)  # async launches back-to-back...
+    float(out)       # ...one scalar sync at the end (house pattern)
     dt = (time.time() - t0) / reps * 1e3
     print(f"{name:28s} {dt:8.2f} ms   (compile+first {tc:.1f}s)", flush=True)

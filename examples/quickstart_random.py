@@ -21,9 +21,6 @@ import jax
 if os.environ.get("JAX_PLATFORMS", "") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
-from amodal_depth_anything_tpu.models import get_model
-from amodal_depth_anything_tpu.models.amodal_dav2 import (DAV2Config,
-                                                          init_amodal_dav2)
 from amodal_depth_anything_tpu.pipeline import (AmodalDepthPipeline,
                                                 DepthFMPipeline)
 from amodal_depth_anything_tpu.utils.image import colorize_depth
@@ -38,13 +35,7 @@ mask = np.zeros((96, 128), np.float32)
 mask[30:70, 40:90] = 1.0
 
 # --- discriminative flagship: frozen base DAV2 + guided AmodalDAv2 ----
-raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
-am_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
-pipe = AmodalDepthPipeline(
-    jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(jax.random.PRNGKey(0)),
-    raw_cfg,
-    jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(jax.random.PRNGKey(1)),
-    am_cfg, size=56, attn_impl="xla")
+pipe = AmodalDepthPipeline.init_random(jax.random.PRNGKey(0), size=56)
 base, blended = pipe(image, mask)
 print("amodal pipeline:", base.shape, blended.shape,
       "finite:", bool(np.isfinite(blended).all()))
@@ -55,9 +46,8 @@ Image.fromarray((colorize_depth(blended) * 255).astype(np.uint8)).save(
     os.path.join(out_dir, "blended_depth.png"))
 
 # --- generative family: DepthFMAmodal 2-step Euler ---------------------
-model = get_model("DepthFMAmodal", tiny=True)
-dpipe = DepthFMPipeline(model.init(jax.random.PRNGKey(2)), model.config,
-                        size=32, num_steps=2, attn_impl="xla")
+dpipe = DepthFMPipeline.init_random(jax.random.PRNGKey(2), size=32,
+                                    num_steps=2)
 depth = dpipe(image, mask, base)  # base depth as the observation
 print("depthfm pipeline:", depth.shape,
       "finite:", bool(np.isfinite(depth).all()))

@@ -205,13 +205,21 @@ def test_serve_cli_random_subprocess():
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
     try:
+        import select
         line = ""
         deadline = time.time() + 240
         while time.time() < deadline:
+            # select-gated read: a wedged server must FAIL the deadline,
+            # not block the suite in readline()
+            ready, _, _ = select.select([proc.stdout], [], [], 5.0)
+            if not ready:
+                assert proc.poll() is None, "server exited early"
+                continue
             line = proc.stdout.readline()
             if "serving on" in line:
                 break
             assert proc.poll() is None, "server exited early"
+        assert "serving on" in line, f"server not up by deadline: {line!r}"
         m = re.search(r":(\d+)", line)
         assert m, f"no port in startup line: {line!r}"
         with urllib.request.urlopen(
