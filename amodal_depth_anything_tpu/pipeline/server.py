@@ -73,9 +73,12 @@ class MicroBatcher:
         self._q.put((tuple(np.asarray(a) for a in sample), fut))
         return fut
 
-    def infer(self, *sample: np.ndarray):
-        """Blocking convenience: submit + wait."""
-        return self.submit(*sample).result()
+    def infer(self, *sample: np.ndarray, timeout: float | None = None):
+        """Blocking convenience: submit + wait. `timeout` (seconds)
+        bounds the wait — a wedged device raises
+        concurrent.futures.TimeoutError instead of hanging the caller
+        (today's axon tunnel outages hang the FIRST dispatch forever)."""
+        return self.submit(*sample).result(timeout=timeout)
 
     def close(self) -> None:
         """Drain queued requests, then stop the dispatch thread."""

@@ -45,6 +45,19 @@ def test_microbatcher_single_output_and_infer():
     assert mb.dispatches == 1
 
 
+def test_microbatcher_infer_timeout():
+    import concurrent.futures
+    import time as _time
+
+    def slow(x):
+        _time.sleep(2.0)
+        return x
+
+    with MicroBatcher(slow, max_batch=1, max_delay_ms=0) as mb:
+        with pytest.raises(concurrent.futures.TimeoutError):
+            mb.infer(np.zeros((2,), np.float32), timeout=0.2)
+
+
 def test_microbatcher_shape_mismatch_and_errors():
     def boom(x):
         raise RuntimeError("kernel on fire")
