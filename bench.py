@@ -267,8 +267,13 @@ def bench_train():
     iters = 5 if on_tpu else 2
 
     model = get_model("AmodalDAv2", encoder=enc)
+    # remat policy: 'attn' (default on TPU; saves attention out/LSE),
+    # 'full' -> True (recompute everything), '0' -> False (cache all).
+    remat_env = os.environ.get("AMODAL_BENCH_REMAT",
+                               "attn" if on_tpu else "0")
+    remat = {"0": False, "full": True, "1": True}.get(remat_env, remat_env)
     cfg = TrainerConfig(compute_dtype="bfloat16" if on_tpu else "float32",
-                        remat="attn" if on_tpu else False,
+                        remat=remat,
                         validation_period=0, visualization_period=0,
                         save_period=0)
     trainer = DiscriminativeTrainer(cfg, model, train_loader=[])
