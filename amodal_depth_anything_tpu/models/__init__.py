@@ -91,10 +91,10 @@ def _build_depthfm(*, guide_type: str = "mask+observation",
 
     @functools.partial(jax.jit,
                        static_argnames=("mode", "num_steps", "attn_impl",
-                                        "tome", "remat"))
+                                        "tome", "remat", "deep_cache"))
     def _apply(params, x, rng=None, mode="eval", depth=None, guide_rgb=None,
                guide_mask=None, observation=None, num_steps=4, attn_impl=None,
-               tome=None, remat=False):
+               tome=None, remat=False, deep_cache=None):
         if mode == "train":
             return depthfm_train_outputs(
                 params, cfg, rng, x, depth, guide_rgb=guide_rgb,
@@ -103,7 +103,7 @@ def _build_depthfm(*, guide_type: str = "mask+observation",
         return depthfm_generate(
             params, cfg, rng, x, num_steps=num_steps, guide_rgb=guide_rgb,
             guide_mask=guide_mask, observation=observation,
-            attn_impl=attn_impl, tome=tome)
+            attn_impl=attn_impl, tome=tome, deep_cache=deep_cache)
 
     return Model(
         name="DepthFMAmodal", config=cfg,

@@ -166,9 +166,17 @@ def depthfm_train_outputs(params: dict, cfg: DepthFMConfig, rng, ims, depth, *,
 
 
 def _euler_depth(params, cfg: DepthFMConfig, rng, rgb_latent, cond_latent,
-                 conditioning, num_steps: int, dtype, attn_impl, tome=None):
+                 conditioning, num_steps: int, dtype, attn_impl, tome=None,
+                 deep_cache=None):
     """q_sample -> fixed-step Euler ODE -> decode -> channel-mean depth
-    (shared by the amodal eval and the plain predict paths)."""
+    (shared by the amodal eval and the plain predict paths).
+
+    deep_cache=(interval N, shallow groups G): DeepCache step caching —
+    every N-th Euler step runs the full UNet and captures the deep
+    feature; the N-1 steps in between run only the G shallowest
+    input/output groups and splice the cached feature in (see
+    `apply_unet`). N=1 is bit-identical to the plain path (every step
+    full; tested). Opt-in serving knob, parity-breaking for N>1."""
     noise = jax.random.normal(rng, rgb_latent.shape, rgb_latent.dtype)
     z = q_sample(rgb_latent, cfg.noising_step, noise,
                  cfg.n_diffusion_timesteps)
@@ -176,21 +184,47 @@ def _euler_depth(params, cfg: DepthFMConfig, rng, rgb_latent, cond_latent,
     ts = jnp.arange(num_steps, dtype=dtype) * dt
     b = rgb_latent.shape[0]
 
-    def euler_step(z, t):
-        v = apply_unet(params["unet"], cfg.unet, z,
-                       jnp.full((b,), t, dtype),
-                       context=cond_latent, context_ca=conditioning,
-                       attn_impl=attn_impl, tome=tome)
-        return z + dt * v, None
+    def vfield(z, t, **kw):
+        return apply_unet(params["unet"], cfg.unet, z,
+                          jnp.full((b,), t, dtype),
+                          context=cond_latent, context_ca=conditioning,
+                          attn_impl=attn_impl, tome=tome, **kw)
 
-    z, _ = jax.lax.scan(euler_step, z, ts)
+    if deep_cache is None:
+        def euler_step(z, t):
+            return z + dt * vfield(z, t), None
+
+        z, _ = jax.lax.scan(euler_step, z, ts)
+    else:
+        interval, groups = deep_cache
+        if num_steps % interval != 0:
+            raise ValueError(
+                f"deep_cache interval {interval} must divide "
+                f"num_steps {num_steps}")
+
+        def cached_block(z, t_vec):
+            # one full step (captures the deep feature) + interval-1
+            # shallow steps reusing it; the inner loop is a static
+            # Python unroll (interval is small), so the scan traces
+            # one full + one shallow UNet body.
+            v, deep = vfield(z, t_vec[0], deep_cache_groups=groups)
+            z = z + dt * v
+            for j in range(1, interval):
+                v = vfield(z, t_vec[j], deep_cache_groups=groups,
+                           cached_deep=deep)
+                z = z + dt * v
+            return z, None
+
+        z, _ = jax.lax.scan(cached_block, z,
+                            ts.reshape(num_steps // interval, interval))
     decoded = vae_decode(params["vae"], z, cfg.vae)
     return jnp.mean(decoded, axis=-1, keepdims=True)
 
 
 def depthfm_generate(params: dict, cfg: DepthFMConfig, rng, ims, *,
                      num_steps: int = 4, guide_rgb=None, guide_mask=None,
-                     observation=None, attn_impl=None, tome=None):
+                     observation=None, attn_impl=None, tome=None,
+                     deep_cache=None):
     """Euler ODE from noised rgb latent to depth latent; returns depth
     [B,H,W,1] in [0,1] (far = 0 after the 1-x flip, dfm_amodal.py:261-262)."""
     rgb_latent = vae_encode_mode(params["vae"], ims, cfg.vae)
@@ -199,14 +233,14 @@ def depthfm_generate(params: dict, cfg: DepthFMConfig, rng, ims, *,
     conditioning = _conditioning(params, ims.shape[0], ims.dtype)
     depth = _euler_depth(params, cfg, rng, rgb_latent, cond_latent,
                          conditioning, num_steps, ims.dtype, attn_impl,
-                         tome=tome)
+                         tome=tome, deep_cache=deep_cache)
     depth = jnp.clip((depth + 1.0) / 2.0, 0.0, 1.0)
     return 1.0 - depth
 
 
 def depthfm_predict_depth(params: dict, cfg: DepthFMConfig, rng, ims, *,
                           num_steps: int = 4, ensemble_size: int = 1,
-                          attn_impl=None, tome=None):
+                          attn_impl=None, tome=None, deep_cache=None):
     """PLAIN DepthFM inference (reference `dfm.py:59-94` — the pseudo-
     label factory's labeler, `sam_pl_gen.py:56-61`): batch-repeat
     `ensemble_size` copies (each draws its own q_sample noise), Euler
@@ -232,7 +266,7 @@ def depthfm_predict_depth(params: dict, cfg: DepthFMConfig, rng, ims, *,
     conditioning = _conditioning(params, rgb_latent.shape[0], ims.dtype)
     depth = _euler_depth(params, cfg, rng, rgb_latent, cond_latent,
                          conditioning, num_steps, ims.dtype, attn_impl,
-                         tome=tome)
+                         tome=tome, deep_cache=deep_cache)
     if ensemble_size > 1:
         depth = jnp.mean(depth, axis=0, keepdims=True)
     depth = jnp.exp(depth.astype(jnp.float32))

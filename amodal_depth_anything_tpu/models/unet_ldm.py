@@ -391,7 +391,9 @@ def apply_unet(params: dict, cfg: UNetConfig, x: jax.Array, t: jax.Array,
                context_ca: jax.Array | None = None, *,
                attn_impl: str | None = None,
                tome: tuple[float, int] | None = None,
-               remat: bool = False) -> jax.Array:
+               remat: bool = False,
+               deep_cache_groups: int | None = None,
+               cached_deep: jax.Array | None = None):
     """x: [B,H,W,C_latent]; t: [B] in diffusion-time units; context is
     concatenated on channels (DepthFM conditioning); context_ca: [B,L,D]
     cross-attention conditioning (text embedding). tome=(ratio, min_tokens)
@@ -403,8 +405,25 @@ def apply_unet(params: dict, cfg: UNetConfig, x: jax.Array, t: jax.Array,
     the SD UNet with `use_checkpoint=True` (`openaimodel.py`
     checkpoint() per block); level granularity keeps the skip tensors
     `hs` live (they are consumed far from where they are produced, so
-    recomputing them would cascade)."""
+    recomputing them would cascade).
+
+    DeepCache (Ma et al. 2023, applied to multi-step samplers): with
+    `deep_cache_groups=G` and `cached_deep=None` the FULL network runs
+    and `(y, deep)` is returned, where `deep` is the feature entering
+    the LAST G output groups (i.e. everything below the G shallowest
+    input groups already folded in). Passing that `deep` back as
+    `cached_deep` on a later step runs ONLY the G shallow input groups
+    (fresh skip tensors) + the last G output groups, splicing the
+    cached deep feature in place of the skipped middle/deep levels.
+    With identical (x, t) the spliced pass reproduces the full pass
+    bit-exactly (tested); across nearby solver steps it is the
+    DeepCache approximation. Opt-in serving path, parity-breaking."""
     inp, mid, out = build_plan(cfg)
+    if deep_cache_groups is not None:
+        if not 1 <= deep_cache_groups < len(inp) or len(inp) != len(out):
+            raise ValueError(
+                f"deep_cache_groups must be in [1, {len(inp) - 1}] on a "
+                f"symmetric plan (inp {len(inp)} / out {len(out)})")
 
     def level_fn(layers):
         def run(p, h, emb, context_ca):
@@ -418,14 +437,28 @@ def apply_unet(params: dict, cfg: UNetConfig, x: jax.Array, t: jax.Array,
                                 t_emb.astype(x.dtype))))
     h = x if context is None else jnp.concatenate([x, context], axis=-1)
     hs = []
-    for i, layers in enumerate(inp):
-        h = level_fn(layers)(params["input_blocks"][str(i)], h, emb,
+    shallow = cached_deep is not None
+    n_inp = deep_cache_groups if shallow else len(inp)
+    for i in range(n_inp):
+        h = level_fn(inp[i])(params["input_blocks"][str(i)], h, emb,
                              context_ca)
         hs.append(h)
-    h = level_fn(mid)(params["middle_block"], h, emb, context_ca)
-    for i, layers in enumerate(out):
+    deep = None
+    if shallow:
+        h = cached_deep
+        out_start = len(out) - deep_cache_groups
+    else:
+        h = level_fn(mid)(params["middle_block"], h, emb, context_ca)
+        out_start = 0
+    for i in range(out_start, len(out)):
+        if deep_cache_groups is not None and not shallow \
+                and i == len(out) - deep_cache_groups:
+            deep = h
         h = jnp.concatenate([h, hs.pop()], axis=-1)
-        h = level_fn(layers)(params["output_blocks"][str(i)], h, emb,
+        h = level_fn(out[i])(params["output_blocks"][str(i)], h, emb,
                              context_ca)
     h = group_norm(params["out"]["norm"], h)
-    return conv2d(params["out"]["conv"], jax.nn.silu(h), padding=1)
+    y = conv2d(params["out"]["conv"], jax.nn.silu(h), padding=1)
+    if deep_cache_groups is not None and not shallow:
+        return y, deep
+    return y

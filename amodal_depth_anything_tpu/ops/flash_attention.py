@@ -70,6 +70,26 @@ def pad_seq_len(n: int) -> int:
     return _round_up(n, 128)
 
 
+def _vmem_fit_block(block: int, tile_bytes_per_row: int,
+                    resident: int) -> int:
+    """Scoped-vmem guard for the backward kernels (16 MB/core on v5e).
+
+    The bwd kernels hold one full sequence stream resident plus
+    [block, N] f32 score tiles; at d_pad=128 with N>=4096 (the SD UNet's
+    64x64 self-attention under training, [B*H, 4096, 128] bf16) block
+    256 allocates 17.5 MB on stack and Mosaic rejects the kernel
+    ("exceeded scoped vmem limit", hit by the DepthFM train-step bench).
+    Estimate the dominant terms (pessimistic — Mosaic reuses tile
+    buffers, so the real peak is ~0.7x this) against a 13 MB budget and
+    halve the block until it fits (floor 128 = one MXU tile row). The
+    vitl/vitg trunk training shapes estimate ~6-8 MB and keep block 256,
+    so the measured training configs are unchanged."""
+    budget = 13 * 1024 * 1024
+    while block > 128 and resident + block * tile_bytes_per_row > budget:
+        block //= 2
+    return block
+
+
 def _precision_for(dtype):
     return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
@@ -227,6 +247,12 @@ def _mha_bwd_pallas(q, k, v, out, lse, g, *, sm_scale: float, block_q: int,
 
     dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
+    its = 2 if q.dtype == jnp.bfloat16 else 4
+    # dq: resident K/V (+ one f32 cast copy) vs [block_q, nk_pad] tiles
+    dq_resident = 2 * nk_pad * d_pad * its + nk_pad * d_pad * 4
+    block_q = _vmem_fit_block(block_q, nk_pad * (3 * 4 + its), dq_resident)
+    nq_pad = _round_up(nq, block_q)
+
     def pad3(t, n_pad):
         return jnp.pad(t, ((0, 0), (0, 0), (0, n_pad - t.shape[2]),
                            (0, d_pad - d))).reshape(b * h, n_pad, d_pad)
@@ -265,6 +291,11 @@ def _mha_bwd_pallas(q, k, v, out, lse, g, *, sm_scale: float, block_q: int,
     block_k = min(256, nk_pad)
     if nk_pad % block_k:
         block_k = 128  # pre-aligned 128-granular inputs: never re-pad
+    # dkv: resident Q/dO/lse/dd (+ f32 cast of Q) vs [block_k, nq_pad] tiles
+    dkv_resident = (2 * nq_pad * d_pad * its + 2 * nq_pad * 128 * 4
+                    + nq_pad * d_pad * 4)
+    block_k = _vmem_fit_block(block_k, nq_pad * (3 * 4 + 2 * its),
+                              dkv_resident)
     nk_pad2 = _round_up(nk_pad, block_k)
     if nk_pad2 != nk_pad:
         kp = jnp.pad(kp, ((0, 0), (0, nk_pad2 - nk_pad), (0, 0)))

@@ -43,7 +43,8 @@ class DepthFMPipeline:
     def __init__(self, params, cfg: DepthFMConfig, *, size: int = 512,
                  num_steps: int = 4, dtype=jnp.float32,
                  attn_impl: str | None = None, seed: int = 2024,
-                 tome: tuple[float, int] | None = None, mesh=None,
+                 tome: tuple[float, int] | None = None,
+                 deep_cache: tuple[int, int] | None = None, mesh=None,
                  cast: bool = True):
         """`mesh`: optional serving mesh — params are replicated and the
         batch sharded over its 'data' axis, so one jit program runs the
@@ -76,6 +77,14 @@ class DepthFMPipeline:
         # "ratio" or (ratio, min_tokens): ToMe-SD in the UNet transformers
         self.tome = (float(tome), 4096) if isinstance(tome, (int, float)) \
             else tome
+        # (interval N, shallow groups G): DeepCache Euler-step caching —
+        # every N-th step runs the full UNet, the rest run only the G
+        # shallowest groups reusing the cached deep feature (opt-in,
+        # parity-breaking; N must divide num_steps). An int means
+        # (N, 3) — 3 groups = the whole highest-resolution level of the
+        # SD topology (conv_in + 2 res/attn blocks).
+        self.deep_cache = (int(deep_cache), 3) \
+            if isinstance(deep_cache, int) else deep_cache
 
         cfg_ = cfg
 
@@ -94,7 +103,8 @@ class DepthFMPipeline:
             return depthfm_generate(
                 params, cfg_, jax.random.PRNGKey(seed), rgb,
                 num_steps=num_steps, guide_rgb=grgb, guide_mask=m,
-                observation=obs, attn_impl=attn_impl, tome=self.tome)
+                observation=obs, attn_impl=attn_impl, tome=self.tome,
+                deep_cache=self.deep_cache)
 
         self._amodal_graph = _amodal_graph
 
@@ -106,7 +116,8 @@ class DepthFMPipeline:
             return depthfm_predict_depth(
                 params, cfg_, jax.random.PRNGKey(seed), rgb,
                 num_steps=n_steps, ensemble_size=ensemble_size,
-                attn_impl=attn_impl, tome=self.tome)
+                attn_impl=attn_impl, tome=self.tome,
+                deep_cache=self.deep_cache)
 
         self._plain_graph = _plain_graph
 
@@ -174,6 +185,7 @@ class DepthFMPipeline:
             "attn_impl": self.attn_impl,
             "seed": self.seed,
             "tome": list(self.tome) if self.tome else None,
+            "deep_cache": list(self.deep_cache) if self.deep_cache else None,
             "dtype": jnp.dtype(self.dtype).name,
         })
 
@@ -186,11 +198,13 @@ class DepthFMPipeline:
         from .serving_ckpt import cfg_from_dict, restore_serving_state
         trees, meta = restore_serving_state(path, expect_kind="depthfm")
         tome = meta.get("tome")
+        deep_cache = meta.get("deep_cache")
         return cls(trees["params"], cfg_from_dict(DepthFMConfig, meta["cfg"]),
                    size=int(meta["size"]), num_steps=int(meta["num_steps"]),
                    attn_impl=attn_impl or meta["attn_impl"],
                    seed=int(meta["seed"]),
                    tome=tuple(tome) if tome else None,
+                   deep_cache=tuple(deep_cache) if deep_cache else None,
                    dtype=jnp.dtype(meta["dtype"]), mesh=mesh, cast=False)
 
     def quantize_int8(self, **kw) -> None:

@@ -133,6 +133,19 @@ def bench_depthfm():
                 int(parts[1]) if len(parts) > 1 else 4096)
         quant_tag += f" tome={parts[0]}"
 
+    deep_cache = None
+    dc_env = os.environ.get("AMODAL_DEEPCACHE_DEPTHFM", "")
+    if dc_env:
+        # "interval" or "interval,groups" — DeepCache Euler-step caching:
+        # every interval-th step runs the full UNet, the rest only the
+        # `groups` shallowest input/output groups with the cached deep
+        # feature spliced in (opt-in, parity-breaking; same ladder policy
+        # as int8/ToMe). Default groups=3 = the whole highest-res level.
+        parts = dc_env.split(",")
+        deep_cache = (int(parts[0]),
+                      int(parts[1]) if len(parts) > 1 else 3)
+        quant_tag += f" deepcache={dc_env}"
+
     # AMODAL_DEPTHFM_ATTN=xla|pallas: A/B the UNet attention impl (the
     # SD-1.5 heads have dim 40/80/160 — the Pallas kernel pads head dim
     # to 128-lane tiles, XLA may win at the shallow dims)
@@ -141,9 +154,12 @@ def bench_depthfm():
         quant_tag += f" attn={attn_impl}"
 
     def run(p, b_ims, b_mask, b_obs, t=-1):
+        # t=None = the exact path (quality comparisons): no tome AND no
+        # deep-cache
         return model.apply(p, b_ims, rng=jax.random.PRNGKey(1),
                            mode="eval", num_steps=4, guide_mask=b_mask,
                            observation=b_obs, tome=tome if t == -1 else t,
+                           deep_cache=deep_cache if t == -1 else None,
                            attn_impl=attn_impl)
 
     def sync(x):

@@ -213,3 +213,91 @@ def test_sam_pl_gen_depthfm_script(tmp_path, monkeypatch, rng):
     assert files == ["33_depth.png"]  # chunk 1 of 2 over 3 ids
     d = np.asarray(Image.open(out / "33_depth.png"))
     assert d.dtype == np.uint16 and d.shape == (32, 32)
+
+
+# ------------------------------------------------------- DeepCache caching
+
+def _jitter_tree(tree, scale=0.02, seed=99):
+    leaves, treedef = jax.tree.flatten(tree)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    return jax.tree.unflatten(treedef, [
+        a + scale * jax.random.normal(k, a.shape, a.dtype)
+        for a, k in zip(leaves, keys)])
+
+
+def test_unet_deep_cache_splice_is_exact_on_same_input(rng):
+    """With identical (x, t), the shallow pass spliced with the captured
+    deep feature must reproduce the full pass BIT-EXACTLY — the DeepCache
+    approximation lives only in reusing the feature across steps."""
+    cfg = UNetConfig(in_channels=4, model_channels=32, channel_mult=(1, 2),
+                     num_heads=2, context_dim=16)
+    params = _jitter_tree(
+        jax.jit(lambda k: init_unet(k, cfg))(jax.random.PRNGKey(0)))
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32))
+    cc = jnp.asarray(rng.standard_normal((2, 7, 16), dtype=np.float32))
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+
+    full = jax.jit(lambda p, x, t, cc: apply_unet(
+        p, cfg, x, t, None, cc, attn_impl="xla"))(params, x, t, cc)
+    y, deep = jax.jit(lambda p, x, t, cc: apply_unet(
+        p, cfg, x, t, None, cc, attn_impl="xla", deep_cache_groups=2))(
+        params, x, t, cc)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(full))
+    y2 = jax.jit(lambda p, x, t, cc, d: apply_unet(
+        p, cfg, x, t, None, cc, attn_impl="xla", deep_cache_groups=2,
+        cached_deep=d))(params, x, t, cc, deep)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(full))
+
+
+def test_unet_deep_cache_groups_validation(rng):
+    cfg = UNetConfig(in_channels=4, model_channels=32, channel_mult=(1, 2),
+                     num_heads=2, context_dim=16)
+    params = jax.jit(lambda k: init_unet(k, cfg))(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    cc = jnp.zeros((1, 7, 16), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    with pytest.raises(ValueError, match="deep_cache_groups"):
+        apply_unet(params, cfg, x, t, None, cc, attn_impl="xla",
+                   deep_cache_groups=6)  # == len(inp): nothing cached
+
+
+def test_depthfm_deep_cache_interval1_is_bit_exact(rng):
+    """interval=1 = every Euler step full — must match the plain path
+    bit-for-bit (proves the deep-cache plumbing is a pure refactor)."""
+    model = get_model("DepthFMAmodal", tiny=True)
+    params = _jitter_tree(model.init(jax.random.PRNGKey(0)))
+    ims = jnp.asarray(rng.random((1, HW, HW, 3), dtype=np.float32)) * 2 - 1
+    mask = jnp.ones((1, HW, HW, 1), jnp.float32)
+    obs = jnp.asarray(rng.random((1, HW, HW, 1), dtype=np.float32))
+    plain = model.apply(params, ims, rng=jax.random.PRNGKey(2), mode="eval",
+                        num_steps=2, guide_mask=mask, observation=obs,
+                        attn_impl="xla")
+    cached = model.apply(params, ims, rng=jax.random.PRNGKey(2), mode="eval",
+                         num_steps=2, guide_mask=mask, observation=obs,
+                         attn_impl="xla", deep_cache=(1, 2))
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(plain))
+
+
+def test_depthfm_deep_cache_interval2(rng):
+    """interval=2 over 2 steps: 1 full + 1 shallow; output stays a valid
+    depth map and is CLOSE to the exact path (same weights/noise)."""
+    model = get_model("DepthFMAmodal", tiny=True)
+    params = _jitter_tree(model.init(jax.random.PRNGKey(0)))
+    ims = jnp.asarray(rng.random((1, HW, HW, 3), dtype=np.float32)) * 2 - 1
+    mask = jnp.ones((1, HW, HW, 1), jnp.float32)
+    obs = jnp.asarray(rng.random((1, HW, HW, 1), dtype=np.float32))
+    exact = model.apply(params, ims, rng=jax.random.PRNGKey(2), mode="eval",
+                        num_steps=2, guide_mask=mask, observation=obs,
+                        attn_impl="xla")
+    dc = model.apply(params, ims, rng=jax.random.PRNGKey(2), mode="eval",
+                     num_steps=2, guide_mask=mask, observation=obs,
+                     attn_impl="xla", deep_cache=(2, 2))
+    d = np.asarray(dc)
+    assert np.isfinite(d).all() and d.min() >= 0 and d.max() <= 1
+    # approximation, not garbage (jittered weights keep signal non-zero)
+    assert np.abs(d - np.asarray(exact)).mean() < 0.2
+
+    with pytest.raises(ValueError, match="must divide"):
+        model.apply(params, ims, rng=jax.random.PRNGKey(2), mode="eval",
+                    num_steps=3, guide_mask=mask, observation=obs,
+                    attn_impl="xla", deep_cache=(2, 2))

@@ -194,3 +194,55 @@ def test_mha_mixed_dtype_normalized(rng):
               v.astype(jnp.bfloat16).astype(jnp.float32), interpret=True)
     np.testing.assert_array_equal(np.asarray(mixed), np.asarray(ref))
     assert mixed.dtype == uniform.dtype == jnp.float32
+
+
+def test_bwd_vmem_block_guard():
+    """Backward block sizes shrink when the estimated kernel footprint
+    would blow the 16 MB scoped-vmem limit (hit: SD UNet 64x64 self-attn
+    [B*H,4096,128] bf16 under training — 17.5 MB at block 256), and stay
+    at 256 for the measured vitl/vitg trunk training shapes."""
+    from amodal_depth_anything_tpu.ops.flash_attention import \
+        _vmem_fit_block
+
+    its = 2  # bf16
+    # vitl @518 training: nq_pad = nk_pad = 1408, d_pad = 64 -> keep 256
+    nq = nk = 1408
+    d = 64
+    dq_res = 2 * nk * d * its + nk * d * 4
+    assert _vmem_fit_block(256, nk * (3 * 4 + its), dq_res) == 256
+    dkv_res = 2 * nq * d * its + 2 * nq * 128 * 4 + nq * d * 4
+    assert _vmem_fit_block(256, nq * (3 * 4 + 2 * its), dkv_res) == 256
+
+    # UNet 64x64 self-attn under training: nq = nk = 4096, d_pad = 128
+    nq = nk = 4096
+    d = 128
+    dq_res = 2 * nk * d * its + nk * d * 4
+    assert _vmem_fit_block(256, nk * (3 * 4 + its), dq_res) == 128
+    dkv_res = 2 * nq * d * its + 2 * nq * 128 * 4 + nq * d * 4
+    assert _vmem_fit_block(256, nq * (3 * 4 + 2 * its), dkv_res) == 128
+
+
+def test_bwd_grads_match_after_block_guard(rng):
+    """A shape that trips the guard (block_q/block_k -> 128) must still
+    produce reference-matching gradients (interpret mode, small batch but
+    the same nq/nk/d_pad class scaled down is NOT enough to trip it — so
+    call the bwd dispatch directly at a guard-tripping padded shape is
+    too slow on CPU; instead verify the guard only changes BLOCKING by
+    checking grads at a shape where we force block 128 via block_q)."""
+    from amodal_depth_anything_tpu.ops.flash_attention import (mha,
+                                                               mha_reference)
+    q = jnp.asarray(rng.standard_normal((1, 2, 200, 32), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 200, 32), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 200, 32), dtype=np.float32))
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(mha(q, k, v, interpret=True, block_q=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
