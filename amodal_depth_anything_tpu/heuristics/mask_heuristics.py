@@ -40,6 +40,9 @@ class Pix2GestaltConfig:
     num_heads: int = 8
     ddim_steps: int = 100
     guidance_scale: float = 1.5
+    # DeepCache (interval, shallow groups) over the DDIM steps — opt-in,
+    # parity-breaking; None = every step runs the full UNet
+    ddim_deep_cache: tuple | None = None
 
     @property
     def unet(self) -> UNetConfig:
@@ -256,11 +259,22 @@ class MaskHeuristics:
                 ctx.shape)
 
             def eps_fn(ctx_tokens):
-                def f(x, t):
+                def f(x, t, **dc):
                     return apply_unet(params["unet"], p2g_cfg.unet, x,
                                       t.astype(x.dtype), context=cond_latent,
-                                      context_ca=ctx_tokens)
+                                      context_ca=ctx_tokens, **dc)
                 return f
+
+            # batched CFG: stack cond/uncond contexts so each DDIM step is
+            # ONE UNet call at batch 2B (exact — no cross-sample ops in the
+            # UNet; the 100-step loop is launch-bound at batch 1)
+            ctx2 = jnp.concatenate([ctx, uncond], axis=0)
+            cond2 = jnp.concatenate([cond_latent, cond_latent], axis=0)
+
+            def joint(x2, t2, **dc):
+                return apply_unet(params["unet"], p2g_cfg.unet, x2,
+                                  t2.astype(x2.dtype), context=cond2,
+                                  context_ca=ctx2, **dc)
 
             latent_hw = cond_latent.shape[1]
             z = ddim_sample(
@@ -268,7 +282,8 @@ class MaskHeuristics:
                 (image01.shape[0], latent_hw, latent_hw, 4),
                 num_steps=num_steps,
                 guidance_scale=p2g_cfg.guidance_scale,
-                uncond_fn=eps_fn(uncond), dtype=image01.dtype)
+                uncond_fn=eps_fn(uncond), joint_fn=joint,
+                deep_cache=p2g_cfg.ddim_deep_cache, dtype=image01.dtype)
             decoded = vae_decode(params["vae"], z, vae_cfg)
             return jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0)
 

@@ -48,6 +48,7 @@ def ddpm_velocity(alphas_cumprod, x0, noise, t):
 
 def ddim_sample(model_fn, rng, shape, *, num_steps: int = 50,
                 guidance_scale: float = 1.0, uncond_fn=None,
+                joint_fn=None, deep_cache=None,
                 n_train_timesteps: int = 1000, dtype=jnp.float32,
                 beta_start: float = 0.00085, beta_end: float = 0.012):
     """Sample latents by DDIM.
@@ -57,7 +58,20 @@ def ddim_sample(model_fn, rng, shape, *, num_steps: int = 50,
     the unconditional prediction for classifier-free guidance.
     `beta_start`/`beta_end` must match the training schedule (the
     DepthFMTrainer exposes them as config keys).
-    """
+
+    `joint_fn(x2b, t2b) -> eps2b`: optional batched CFG evaluator — the
+    caller stacks its conditional and unconditional contexts so the two
+    guidance forwards run as ONE UNet call at batch 2B (exact; halves the
+    number of sequential kernel launches — the demo's 100-step completion
+    is launch-bound at batch 1). Used only when guidance_scale != 1.
+
+    `deep_cache=(interval N, groups G)`: DeepCache step caching — every
+    N-th DDIM step runs the full UNet (capturing the deep feature); the
+    steps in between run only the G shallowest input/output groups with
+    the cached feature spliced in (see `models.unet_ldm.apply_unet`).
+    The model fns must then accept `deep_cache_groups=`/`cached_deep=`
+    keywords (a full pass returns `(eps, deep)`). N=1 is bit-identical
+    to the plain path; N>1 is an opt-in approximation."""
     alphas = linear_alphas_cumprod(n_train_timesteps, beta_start, beta_end)
     # uniform "leading" timestep spacing, descending
     step = n_train_timesteps // num_steps
@@ -65,21 +79,78 @@ def ddim_sample(model_fn, rng, shape, *, num_steps: int = 50,
 
     x = jax.random.normal(rng, shape, dtype)
     b = shape[0]
+    guided = guidance_scale != 1.0
+    use_joint = guided and joint_fn is not None
 
-    def body(x, i):
+    def eps_at(x, tb, **dc):
+        """-> (guided eps, captured deep feature or None)."""
+        deep = None
+        if use_joint:
+            out = joint_fn(jnp.concatenate([x, x], axis=0),
+                           jnp.concatenate([tb, tb], axis=0), **dc)
+            if dc.get("deep_cache_groups") is not None \
+                    and dc.get("cached_deep") is None:
+                out, deep = out
+            eps, eps_u = out[:b], out[b:]
+            return eps_u + guidance_scale * (eps - eps_u), deep
+        if dc.get("deep_cache_groups") is not None \
+                and dc.get("cached_deep") is None:
+            eps, deep = model_fn(x, tb, **dc)
+            if guided:
+                eps_u, deep_u = uncond_fn(x, tb, **dc)
+                eps = eps_u + guidance_scale * (eps - eps_u)
+                deep = (deep, deep_u)
+            return eps, deep
+        if guided and dc.get("cached_deep") is not None:
+            deep_c, deep_u = dc.pop("cached_deep")
+            eps = model_fn(x, tb, cached_deep=deep_c, **dc)
+            eps_u = uncond_fn(x, tb, cached_deep=deep_u, **dc)
+            return eps_u + guidance_scale * (eps - eps_u), None
+        eps = model_fn(x, tb, **dc)
+        if guided:
+            eps_u = uncond_fn(x, tb, **dc)
+            eps = eps_u + guidance_scale * (eps - eps_u)
+        return eps, None
+
+    def update(x, i, eps):
         t = ts[i]
         t_prev = jnp.where(i < num_steps - 1, ts[i + 1], -1)
         a_t = alphas[t].astype(dtype)
         a_prev = jnp.where(t_prev >= 0, alphas[jnp.maximum(t_prev, 0)],
                            1.0).astype(dtype)
-        tb = jnp.full((b,), t, jnp.int32)
-        eps = model_fn(x, tb)
-        if guidance_scale != 1.0:
-            eps_u = uncond_fn(x, tb)
-            eps = eps_u + guidance_scale * (eps - eps_u)
         x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
-        x = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
+        return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
+
+    if deep_cache is None:
+        def body(x, i):
+            tb = jnp.full((b,), ts[i], jnp.int32)
+            eps, _ = eps_at(x, tb)
+            return update(x, i, eps), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(num_steps))
+        return x
+
+    interval, groups = deep_cache
+    if num_steps % interval != 0:
+        raise ValueError(f"deep_cache interval {interval} must divide "
+                         f"num_steps {num_steps}")
+
+    def block_body(x, blk):
+        # one full step (captures the deep feature) + interval-1 shallow
+        # steps reusing it; the inner loop is a static unroll, so the
+        # scan traces one full + one shallow UNet body.
+        i0 = blk * interval
+        tb = jnp.full((b,), ts[i0], jnp.int32)
+        eps, deep = eps_at(x, tb, deep_cache_groups=groups)
+        x = update(x, i0, eps)
+        for j in range(1, interval):
+            i = i0 + j
+            tb = jnp.full((b,), ts[i], jnp.int32)
+            eps, _ = eps_at(x, tb, deep_cache_groups=groups,
+                            cached_deep=deep)
+            x = update(x, i, eps)
         return x, None
 
-    x, _ = jax.lax.scan(body, x, jnp.arange(num_steps))
+    x, _ = jax.lax.scan(block_body, x,
+                        jnp.arange(num_steps // interval))
     return x

@@ -91,7 +91,9 @@ def candidate_configs(family: str, include_calibrated: bool = False):
         if include_calibrated:
             names.insert(2, "int8_calib")
         return names
-    return ["bf16", "int8_dynamic", "tome_0.75", "int8_dynamic+tome_0.75"]
+    return ["bf16", "int8_dynamic", "tome_0.75", "deepcache_2",
+            "deepcache_2+tome_0.75", "int8_dynamic+tome_0.75",
+            "int8_dynamic+deepcache_2"]
 
 
 def _default_size(args) -> int:
@@ -200,9 +202,12 @@ def _build_depthfm(args, name, loaded):
     # merge legal there (same shape the bench smoke uses)
     tome = ((0.75, 4096) if not args.random else (0.4, 8)) \
         if "tome" in name else None
+    # tiny presets have 6 symmetric UNet groups -> G=2; full SD has 12 -> 3
+    deep_cache = ((2, 3) if not args.random else (2, 2)) \
+        if "deepcache" in name else None
     pipe = DepthFMPipeline(params, cfg, size=args.size, num_steps=2
                            if args.random else 4, dtype=jnp_dtype(args),
-                           tome=tome)
+                           tome=tome, deep_cache=deep_cache)
     if "int8_dynamic" in name:
         pipe.quantize_int8()
     return pipe

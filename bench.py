@@ -229,7 +229,15 @@ def bench_heuristics():
     mh = MaskHeuristics.init_random(jax.random.PRNGKey(0),
                                     tiny=not on_tpu)
     import dataclasses
-    mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=ddim_steps)
+    dc_env = os.environ.get("AMODAL_DEEPCACHE_P2G", "")
+    # "interval" or "interval,groups": DeepCache over the DDIM steps
+    # (opt-in, parity-breaking — same ladder policy as the other knobs)
+    dc = None
+    if dc_env:
+        parts = dc_env.split(",")
+        dc = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 3)
+    mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=ddim_steps,
+                                     ddim_deep_cache=dc)
 
     rng = np.random.default_rng(0)
     hw = 1024 if on_tpu else 64
@@ -255,7 +263,9 @@ def bench_heuristics():
 
     print(json.dumps({
         "metric": f"heuristics completions/sec (SAM vit-h @ {hw}px + "
-                  f"pix2gestalt {ddim_steps}-step DDIM; first-call compile "
+                  f"pix2gestalt {ddim_steps}-step DDIM"
+                  + (f" deepcache={dc_env}" if dc_env else "")
+                  + f"; first-call compile "
                   f"sam {sam_first_s:.0f}s p2g {p2g_first_s:.0f}s)",
         "value": round(1.0 / p50, 3),
         "unit": "completions/sec/chip",

@@ -45,3 +45,13 @@ def test_autotune_depthfm_random():
     assert names == ["bf16", "int8_dynamic"]
     assert report["rows"][1]["quality_delta"]["max_abs"] > 0.0
     assert report["best"] in names
+
+
+def test_autotune_depthfm_deepcache():
+    args = build_parser().parse_args(
+        ["--family", "depthfm", "--random", "--batch", "2", "--reps", "1",
+         "--configs", "bf16,deepcache_2", "--quality_budget", "1.0"])
+    report = run_autotune(args)
+    names = [r["config"] for r in report["rows"]]
+    assert names == ["bf16", "deepcache_2"]
+    assert report["best"] in names

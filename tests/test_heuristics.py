@@ -117,3 +117,90 @@ def test_rmbg_matting_forward(rng):
     assert matte.shape == (1, 128, 128, 1)
     m = np.asarray(matte)
     assert np.isfinite(m).all() and m.min() >= 0 and m.max() <= 1
+
+
+def test_ddim_joint_cfg_matches_separate(rng):
+    """joint_fn (one batch-2B call per step) must reproduce the separate
+    cond/uncond path exactly — batching is not an approximation."""
+    w = jnp.asarray(rng.standard_normal((4, 4), dtype=np.float32)) * 0.05
+
+    def cond(x, t):
+        return x * 0.1 + x @ w
+
+    def uncond(x, t):
+        return x * 0.05
+
+    def joint(x2, t2):
+        b = x2.shape[0] // 2
+        return jnp.concatenate([cond(x2[:b], t2[:b]),
+                                uncond(x2[b:], t2[b:])], axis=0)
+
+    kw = dict(num_steps=5, guidance_scale=1.5, dtype=jnp.float32)
+    sep = ddim_sample(cond, jax.random.PRNGKey(3), (2, 3, 3, 4),
+                      uncond_fn=uncond, **kw)
+    jnt = ddim_sample(cond, jax.random.PRNGKey(3), (2, 3, 3, 4),
+                      uncond_fn=uncond, joint_fn=joint, **kw)
+    np.testing.assert_allclose(np.asarray(jnt), np.asarray(sep),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_ddim_deep_cache_interval1_matches_plain(rng):
+    """deep_cache=(1, g) runs every step full — bit-identical to the
+    plain scan (plumbing is a pure refactor)."""
+    def model(x, t, deep_cache_groups=None, cached_deep=None):
+        eps = jnp.tanh(x) * 0.2
+        if deep_cache_groups is not None and cached_deep is None:
+            return eps, jnp.zeros((1,), x.dtype)
+        return eps
+
+    plain = ddim_sample(model, jax.random.PRNGKey(5), (1, 4, 4, 4),
+                        num_steps=4)
+    dc = ddim_sample(model, jax.random.PRNGKey(5), (1, 4, 4, 4),
+                     num_steps=4, deep_cache=(1, 2))
+    np.testing.assert_array_equal(np.asarray(dc), np.asarray(plain))
+
+    with pytest.raises(ValueError, match="must divide"):
+        ddim_sample(model, jax.random.PRNGKey(5), (1, 4, 4, 4),
+                    num_steps=5, deep_cache=(2, 2))
+
+
+def test_ddim_deep_cache_joint_guided(rng):
+    """deep_cache + joint CFG: the full step returns (eps2b, deep2b); the
+    shallow steps consume the batched cache."""
+    captures, splices = [], []
+
+    def joint(x2, t2, deep_cache_groups=None, cached_deep=None):
+        eps = x2 * 0.1
+        if deep_cache_groups is not None and cached_deep is None:
+            captures.append(1)
+            return eps, x2 * 0.5
+        if cached_deep is not None:
+            splices.append(1)
+            eps = eps + 0.01 * cached_deep
+        return eps
+
+    def cond(x, t, **dc):
+        raise AssertionError("joint path must be used")
+
+    out = ddim_sample(cond, jax.random.PRNGKey(7), (1, 4, 4, 4),
+                      num_steps=4, guidance_scale=1.5, uncond_fn=cond,
+                      joint_fn=joint, deep_cache=(2, 2))
+    assert out.shape == (1, 4, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # traced once per scan body: 1 capture + 1 shallow
+    assert len(captures) == 1 and len(splices) == 1
+
+
+def test_mask_heuristics_deep_cache_end_to_end(rng):
+    """DeepCache through the full heuristics pipeline (tiny p2g UNet has
+    6 symmetric groups; G=2)."""
+    import dataclasses
+
+    h = MaskHeuristics.init_random(jax.random.PRNGKey(0), tiny=True)
+    h.p2g_cfg = dataclasses.replace(h.p2g_cfg, ddim_deep_cache=(2, 2))
+    img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    hint = np.zeros((48, 48), np.float32)
+    hint[10:30, 10:30] = 1.0
+    amodal = h.amodal_mask_from_points(img, hint)
+    assert amodal.shape == (48, 48)
+    assert set(np.unique(amodal)).issubset({0.0, 1.0})
