@@ -238,6 +238,19 @@ def bench_heuristics():
         dc = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 3)
     mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=ddim_steps,
                                      ddim_deep_cache=dc)
+    if os.environ.get("AMODAL_QUALITY", "") == "1":
+        # zero_module init makes the p2g UNet output vacuously zero —
+        # jitter its leaves so the DeepCache-vs-exact completion delta
+        # exercises real signal flow (same policy as the DepthFM bench)
+        def _jitter(p):
+            leaves, treedef = jax.tree.flatten(p)
+            keys = jax.random.split(jax.random.PRNGKey(99), len(leaves))
+            return jax.tree.unflatten(treedef, [
+                a + 0.02 * jax.random.normal(k, a.shape, a.dtype)
+                for a, k in zip(leaves, keys)])
+
+        mh.p2g_params = dict(mh.p2g_params)
+        mh.p2g_params["unet"] = jax.jit(_jitter)(mh.p2g_params["unet"])
 
     rng = np.random.default_rng(0)
     hw = 1024 if on_tpu else 64
@@ -247,10 +260,28 @@ def bench_heuristics():
     t0 = time.perf_counter()
     visible = mh.sam_visible_mask(image, points)
     sam_first_s = time.perf_counter() - t0
+
+    quality = None
+    if os.environ.get("AMODAL_QUALITY", "") == "1" and dc:
+        # exact-path completion for the DeepCache delta, computed BEFORE
+        # the deep-cache program is built (the p2g jit is a cached
+        # property keyed on the config)
+        saved = mh.p2g_cfg
+        mh.p2g_cfg = dataclasses.replace(saved, ddim_deep_cache=None)
+        mh.__dict__.pop("_p2g_jit", None)
+        exact = mh.pix2gestalt_completion(image, visible)
+        mh.p2g_cfg = saved
+        mh.__dict__.pop("_p2g_jit", None)
+
     t0 = time.perf_counter()
     completion = mh.pix2gestalt_completion(image, visible)
     p2g_first_s = time.perf_counter() - t0
     assert np.isfinite(completion).all()
+    if quality is None and os.environ.get("AMODAL_QUALITY", "") == "1" \
+            and dc:
+        d = np.abs(exact - completion)
+        quality = {"completion_max_abs": round(float(d.max()), 6),
+                   "completion_mean_abs": round(float(d.mean()), 6)}
 
     lat = []
     for _ in range(3):
@@ -270,6 +301,7 @@ def bench_heuristics():
         "value": round(1.0 / p50, 3),
         "unit": "completions/sec/chip",
         "vs_baseline": round(p50, 3),  # p50 seconds per completion
+        **({"quality_delta": quality} if quality else {}),
     }))
 
 
