@@ -37,6 +37,11 @@ def build_parser():
     p.add_argument("--num_chunks", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--tome", type=float, default=None,
+                   help="ToMe-SD ratio in the UNet (opt-in, approximate)")
+    p.add_argument("--deep_cache", type=int, default=None,
+                   help="DeepCache interval over the Euler steps (opt-in, "
+                        "approximate; must divide --num_steps)")
     return p
 
 
@@ -64,7 +69,9 @@ def main(argv=None):
 
     predict = jax.jit(functools.partial(
         depthfm_predict_depth, cfg=cfg, num_steps=args.num_steps,
-        ensemble_size=args.ensemble))
+        ensemble_size=args.ensemble,
+        tome=(args.tome, 4096) if args.tome else None,
+        deep_cache=(args.deep_cache, 3) if args.deep_cache else None))
 
     os.makedirs(args.out_dir, exist_ok=True)
     for i, sid in enumerate(ids):

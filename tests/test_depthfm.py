@@ -214,6 +214,16 @@ def test_sam_pl_gen_depthfm_script(tmp_path, monkeypatch, rng):
     d = np.asarray(Image.open(out / "33_depth.png"))
     assert d.dtype == np.uint16 and d.shape == (32, 32)
 
+    # opt-in DeepCache path through the factory CLI (1 id via chunking)
+    out_dc = tmp_path / "depth_dc"
+    sam_pl_gen_depthfm.main([
+        "--image_dir", str(img_dir), "--split", str(tmp_path / "split.txt"),
+        "--ckpt", "fake.ckpt", "--vae_ckpt", "fake_vae.safetensors",
+        "--out_dir", str(out_dc), "--num_steps", "2", "--ensemble", "2",
+        "--size", "32", "--dtype", "float32", "--deep_cache", "2",
+        "--data_index", "0", "--num_chunks", "3"])
+    assert sorted(p.name for p in out_dc.iterdir()) == ["11_depth.png"]
+
 
 # ------------------------------------------------------- DeepCache caching
 
