@@ -388,6 +388,13 @@ def check_depthfm_pipeline(report, args):
 
     _row(report, "depthfm_tome_quality_delta", _tome)
 
+    def _deepcache():
+        c = DepthFMPipeline(holder["params"], pipe.cfg,
+                            size=args.depthfm_size, deep_cache=(2, 3))
+        return _delta(c)
+
+    _row(report, "depthfm_deepcache_quality_delta", _deepcache)
+
 
 def check_sam(report, path):
     def _convert():

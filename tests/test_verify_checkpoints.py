@@ -119,6 +119,7 @@ def test_kit_depthfm_pipeline_rows(tmp_path):
     report = (tmp_path / "report.txt").read_text()
     for row in ("depthfm_convert", "depthfm_unet_forward",
                 "depthfm_pipeline_forward", "depthfm_int8_quality_delta",
-                "depthfm_tome_quality_delta"):
+                "depthfm_tome_quality_delta",
+                "depthfm_deepcache_quality_delta"):
         line = [l for l in report.splitlines() if l.startswith(row)][0]
         assert "PASS" in line, line
