@@ -204,15 +204,19 @@ def _euler_depth(params, cfg: DepthFMConfig, rng, rgb_latent, cond_latent,
 
         def cached_block(z, t_vec):
             # one full step (captures the deep feature) + interval-1
-            # shallow steps reusing it; the inner loop is a static
-            # Python unroll (interval is small), so the scan traces
-            # one full + one shallow UNet body.
+            # shallow steps reusing it; the shallow steps run under an
+            # inner scan (deep is loop-invariant), so the traced program
+            # holds one full + one shallow UNet body at any interval.
             v, deep = vfield(z, t_vec[0], deep_cache_groups=groups)
             z = z + dt * v
-            for j in range(1, interval):
-                v = vfield(z, t_vec[j], deep_cache_groups=groups,
+
+            def shallow_step(z, t):
+                v = vfield(z, t, deep_cache_groups=groups,
                            cached_deep=deep)
-                z = z + dt * v
+                return z + dt * v, None
+
+            if interval > 1:
+                z, _ = jax.lax.scan(shallow_step, z, t_vec[1:])
             return z, None
 
         z, _ = jax.lax.scan(cached_block, z,

@@ -137,18 +137,23 @@ def ddim_sample(model_fn, rng, shape, *, num_steps: int = 50,
 
     def block_body(x, blk):
         # one full step (captures the deep feature) + interval-1 shallow
-        # steps reusing it; the inner loop is a static unroll, so the
-        # scan traces one full + one shallow UNet body.
+        # steps reusing it; the shallow steps run under an inner scan
+        # (deep is loop-invariant), so the traced program holds exactly
+        # one full + one shallow UNet body regardless of the interval.
         i0 = blk * interval
         tb = jnp.full((b,), ts[i0], jnp.int32)
         eps, deep = eps_at(x, tb, deep_cache_groups=groups)
         x = update(x, i0, eps)
-        for j in range(1, interval):
-            i = i0 + j
+
+        def shallow_step(x, i):
             tb = jnp.full((b,), ts[i], jnp.int32)
             eps, _ = eps_at(x, tb, deep_cache_groups=groups,
                             cached_deep=deep)
-            x = update(x, i, eps)
+            return update(x, i, eps), None
+
+        if interval > 1:
+            x, _ = jax.lax.scan(shallow_step, x,
+                                i0 + 1 + jnp.arange(interval - 1))
         return x, None
 
     x, _ = jax.lax.scan(block_body, x,

@@ -65,6 +65,18 @@ A100_PYTORCH_EST_IMG_PER_SEC = 4.3
 A100_DEPTHFM_EST_IMG_PER_SEC = 3.0
 
 
+def _jitter_tree(p, *, seed=99, scale=0.02):
+    """Jitter every leaf: zero_module parity zeroes the UNet output convs
+    at init, which makes optimized-vs-exact quality deltas vacuous on
+    random weights — both quality proxies (DepthFM, heuristics) share
+    this one policy so their deltas stay comparable."""
+    leaves, treedef = jax.tree.flatten(p)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    return jax.tree.unflatten(treedef, [
+        a + scale * jax.random.normal(k, a.shape, a.dtype)
+        for a, k in zip(leaves, keys)])
+
+
 def bench_depthfm():
     """AMODAL_BENCH_DEPTHFM=1: 4-step DepthFMAmodal eval (reference
     dfm.py:38-57 path). Round-1 could not compile this through the axon
@@ -87,20 +99,8 @@ def bench_depthfm():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     if os.environ.get("AMODAL_QUALITY", "") == "1":
-        # zero_module parity zeroes every transformer proj_out / ResBlock
-        # out conv / final conv at init, which makes the whole UNet output
-        # zero and any quality delta vacuous — jitter ALL UNet leaves so
-        # the optimized-vs-exact comparison exercises real signal flow
-        # (identical program/FLOPs; perf unaffected)
-        def _jitter(p):
-            leaves, treedef = jax.tree.flatten(p)
-            keys = jax.random.split(jax.random.PRNGKey(99), len(leaves))
-            return jax.tree.unflatten(treedef, [
-                a + 0.02 * jax.random.normal(k, a.shape, a.dtype)
-                for a, k in zip(leaves, keys)])
-
         params = dict(params)
-        params["unet"] = jax.jit(_jitter)(params["unet"])
+        params["unet"] = jax.jit(_jitter_tree)(params["unet"])
     quant_tag = ""
     params_exact = None
     if os.environ.get("AMODAL_INT8_DEPTHFM", "") == "1":
@@ -239,18 +239,8 @@ def bench_heuristics():
     mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=ddim_steps,
                                      ddim_deep_cache=dc)
     if os.environ.get("AMODAL_QUALITY", "") == "1":
-        # zero_module init makes the p2g UNet output vacuously zero —
-        # jitter its leaves so the DeepCache-vs-exact completion delta
-        # exercises real signal flow (same policy as the DepthFM bench)
-        def _jitter(p):
-            leaves, treedef = jax.tree.flatten(p)
-            keys = jax.random.split(jax.random.PRNGKey(99), len(leaves))
-            return jax.tree.unflatten(treedef, [
-                a + 0.02 * jax.random.normal(k, a.shape, a.dtype)
-                for a, k in zip(leaves, keys)])
-
         mh.p2g_params = dict(mh.p2g_params)
-        mh.p2g_params["unet"] = jax.jit(_jitter)(mh.p2g_params["unet"])
+        mh.p2g_params["unet"] = jax.jit(_jitter_tree)(mh.p2g_params["unet"])
 
     rng = np.random.default_rng(0)
     hw = 1024 if on_tpu else 64

@@ -204,3 +204,37 @@ def test_mask_heuristics_deep_cache_end_to_end(rng):
     amodal = h.amodal_mask_from_points(img, hint)
     assert amodal.shape == (48, 48)
     assert set(np.unique(amodal)).issubset({0.0, 1.0})
+
+
+def test_ddim_deep_cache_separate_guided(rng):
+    """deep_cache + separate cond/uncond fns (no joint_fn): the full step
+    returns per-fn deep features as a (deep_c, deep_u) tuple cache; the
+    shallow steps route each back to its own fn. Trace stays 1 full + 1
+    shallow body per fn at any interval (inner scan)."""
+    captures, splices = [], []
+
+    def make(tag, scale):
+        # cond's deep feature is [.,4], uncond's is [.,8]: the shallow
+        # fns assert (statically, at trace time) that each receives ITS
+        # OWN cache back — a swapped (deep_c, deep_u) unpack would fail
+        def f(x, t, deep_cache_groups=None, cached_deep=None):
+            eps = x * scale
+            if deep_cache_groups is not None and cached_deep is None:
+                captures.append(tag)
+                deep = x if tag == "c" else jnp.concatenate([x, x], -1)
+                return eps, deep
+            if cached_deep is not None:
+                splices.append(tag)
+                assert cached_deep.shape[-1] == (4 if tag == "c" else 8)
+                eps = eps + 0.01 * cached_deep[..., :4]
+            return eps
+        return f
+
+    out = ddim_sample(make("c", 0.1), jax.random.PRNGKey(9), (1, 4, 4, 4),
+                      num_steps=6, guidance_scale=1.5,
+                      uncond_fn=make("u", 0.05), deep_cache=(3, 2))
+    assert out.shape == (1, 4, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # one full + one shallow trace per fn, regardless of interval 3
+    assert sorted(captures) == ["c", "u"]
+    assert sorted(splices) == ["c", "u"]
