@@ -467,3 +467,86 @@ def quantize_diffusion_int8(params: dict, *, min_conv_fan: int = 512,
         return {k: walk(v, path + (k,)) for k, v in tree.items()}
 
     return walk(params, ())
+
+
+def calibrate_diffusion_scales(qparams: dict, run_fn, *args,
+                               margin: float = 1.1) -> dict:
+    """Promote a DYNAMIC int8 diffusion tree to STATIC activation scales.
+
+    `qparams` is the output of `quantize_diffusion_int8` (dynamic — each
+    int8 site computes a per-call amax, which serializes batch-1 latency:
+    measured p50 260 ms vs 126 bf16 for DepthFM). This runs
+    `run_fn(qparams, *args)` ONCE under trace with the int8 ops patched
+    to also emit the dynamic scale each site computed; the observed
+    per-site maxima (x `margin` headroom for unseen data) are then baked
+    in as `act_scale` leaves, so serving forwards skip every amax
+    reduction.
+
+    Sites are matched by TRACER IDENTITY of the int8 kernel leaf — the
+    exact quantization sites `quantize_diffusion_int8` chose, with no
+    mirrored forward to drift. Constraint: `run_fn` must not wrap the
+    int8 ops in `lax.scan`/`lax.while_loop` (records would capture
+    inner-trace values); call the UNet/VAE bodies directly, unrolled
+    over a few representative timesteps (a Python loop max-accumulates
+    within the one trace).
+    """
+    import jax.tree_util as jtu
+
+    records: dict = {}
+    id2path: dict = {}
+
+    def _site(p):
+        return id2path.get(id(p["w"]))
+
+    def _record(key, x):
+        s = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0, 1e-9)
+        records[key] = jnp.maximum(records[key], s) if key in records else s
+
+    orig_lin, orig_conv = int8_linear, int8_conv2d
+
+    def rec_lin(p, x):
+        key = _site(p)
+        if key is not None and "act_scale" not in p:
+            _record(key, x)
+        return orig_lin(p, x)
+
+    def rec_conv(p, x, *, stride=1, padding="SAME"):
+        key = _site(p)
+        if key is not None and "act_scale" not in p:
+            _record(key, x)
+        return orig_conv(p, x, stride=stride, padding=padding)
+
+    def traced(qp, *a):
+        for path, leaf in jtu.tree_flatten_with_path(qp)[0]:
+            id2path[id(leaf)] = jtu.keystr(path)
+        run_fn(qp, *a)
+        return dict(records)
+
+    import amodal_depth_anything_tpu.ops.quant as _self
+    _self.int8_linear, _self.int8_conv2d = rec_lin, rec_conv
+    try:
+        # new trace every call (records close over this invocation)
+        scales = jax.jit(traced).lower(qparams, *args).compile()(
+            qparams, *args)
+    finally:
+        _self.int8_linear, _self.int8_conv2d = orig_lin, orig_conv
+    if not scales:
+        raise ValueError("calibration forward hit no dynamic int8 sites "
+                         "(tree not quantized, or already static?)")
+
+    def promote(tree, prefix):
+        if not isinstance(tree, dict):
+            return tree
+        w = tree.get("w")
+        if w is not None and not isinstance(w, dict):
+            key = prefix + "['w']"
+            if getattr(w, "dtype", None) == jnp.int8 and key in scales \
+                    and "act_scale" not in tree:
+                return {**tree, "act_scale": jnp.asarray(
+                    float(scales[key]) * margin, jnp.float32)}
+            return tree
+        return {k: promote(v, prefix + f"['{k}']")
+                for k, v in tree.items()}
+
+    return promote(qparams, "")

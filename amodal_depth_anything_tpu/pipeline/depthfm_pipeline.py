@@ -88,8 +88,7 @@ class DepthFMPipeline:
 
         cfg_ = cfg
 
-        @jax.jit
-        def _amodal_graph(params, image, mask, observation, guide_rgb):
+        def _prep(image, mask, observation, guide_rgb):
             s = (size, size)
             rgb = resize2d(image / 255.0, size=s,
                            method="bilinear") * 2.0 - 1.0
@@ -100,6 +99,13 @@ class DepthFMPipeline:
             grgb = resize2d(guide_rgb / 255.0, size=s,
                             method="bilinear") * 2.0 - 1.0 \
                 if guide_rgb is not None else None
+            return rgb, m, obs, grgb
+
+        self._prep = _prep
+
+        @jax.jit
+        def _amodal_graph(params, image, mask, observation, guide_rgb):
+            rgb, m, obs, grgb = _prep(image, mask, observation, guide_rgb)
             return depthfm_generate(
                 params, cfg_, jax.random.PRNGKey(seed), rgb,
                 num_steps=num_steps, guide_rgb=grgb, guide_mask=m,
@@ -207,16 +213,68 @@ class DepthFMPipeline:
                    deep_cache=tuple(deep_cache) if deep_cache else None,
                    dtype=jnp.dtype(meta["dtype"]), mesh=mesh, cast=False)
 
-    def quantize_int8(self, **kw) -> None:
-        """Opt-in dynamic-scale W8A8 over the UNet + VAE
+    def quantize_int8(self, calibration=None, margin: float = 1.1,
+                      **kw) -> None:
+        """Opt-in W8A8 over the UNet + VAE
         (`ops/quant.py::quantize_diffusion_int8`; wide convs/linears only,
         output convs stay high precision — `kw` forwards the width
         thresholds / skip suffixes). Parity-breaking; measured +15%
-        throughput at b8 @512 on v5e, but b1 latency regresses (the
-        per-tensor run-time amax reductions serialize at small batch)."""
-        from ..ops.quant import quantize_diffusion_int8
+        throughput at b8 @512 on v5e, but with DYNAMIC scales b1 latency
+        regresses (the per-tensor run-time amax reductions serialize at
+        small batch).
+
+        `calibration=(image, mask, observation[, guide_rgb])` (same
+        conventions as `__call__`) promotes every site to STATIC
+        activation scales: one calibration trace — VAE encode, the Euler
+        trajectory unrolled over `num_steps` UNet calls, VAE decode —
+        records each site's dynamic scale and bakes in the observed max
+        x `margin`, so serving forwards skip all amax reductions
+        (`ops/quant.py::calibrate_diffusion_scales`)."""
+        from ..ops.quant import (calibrate_diffusion_scales,
+                                 quantize_diffusion_int8)
         self.params = jax.jit(
             functools.partial(quantize_diffusion_int8, **kw))(self.params)
+        if calibration is None:
+            return
+        image, mask, observation, *rest = tuple(calibration) + (None,)
+        guide_rgb = rest[0] if rest else None
+        g = self.cfg.guide_type
+        img, _ = self._batch(image, 3)
+        msk, _ = self._batch(mask if "mask" in g else None, 1)
+        obs, _ = self._batch(observation if "observation" in g else None, 1)
+        grgb, _ = self._batch(guide_rgb if "image" in g else None, 3)
+        rgb, m, o, gr = jax.jit(self._prep)(img, msk, obs, grgb)
+
+        cfg, seed, num_steps = self.cfg, self.seed, self.num_steps
+        attn_impl = self.attn_impl
+
+        def run(qp, rgb, m, o, gr):
+            # the Euler trajectory UNROLLED (calibrate_diffusion_scales
+            # forbids lax.scan around the int8 sites) — mirrors
+            # models.depthfm._euler_depth step for step
+            from ..models.depthfm import (_conditioning, _guide_latents,
+                                          q_sample)
+            from ..models.unet_ldm import apply_unet
+            from ..models.vae import vae_decode, vae_encode_mode
+            lat = vae_encode_mode(qp["vae"], rgb, cfg.vae)
+            cond = _guide_latents(qp, cfg, lat, gr, m, o)
+            ca = _conditioning(qp, rgb.shape[0], rgb.dtype)
+            noise = jax.random.normal(jax.random.PRNGKey(seed), lat.shape,
+                                      lat.dtype)
+            z = q_sample(lat, cfg.noising_step, noise,
+                         cfg.n_diffusion_timesteps)
+            dt = 1.0 / num_steps
+            b = rgb.shape[0]
+            for i in range(num_steps):
+                t = jnp.full((b,), i * dt, rgb.dtype)
+                v = apply_unet(qp["unet"], cfg.unet, z, t, context=cond,
+                               context_ca=ca, attn_impl=attn_impl)
+                z = z + dt * v
+            vae_decode(qp["vae"], z, cfg.vae)
+
+        self.params = calibrate_diffusion_scales(self.params, run,
+                                                 rgb, m, o, gr,
+                                                 margin=margin)
 
     def _batch(self, x, channels):
         """-> ([B,H,W,c] device array | None, was_unbatched)."""

@@ -103,10 +103,13 @@ def bench_depthfm():
         params["unet"] = jax.jit(_jitter_tree)(params["unet"])
     quant_tag = ""
     params_exact = None
-    if os.environ.get("AMODAL_INT8_DEPTHFM", "") == "1":
-        # W8A8 with dynamic activation scales over the UNet+VAE (wide
-        # convs/linears only; output convs stay high precision). Opt-in,
-        # parity-breaking — same policy as the trunk int8 ladder.
+    int8_env = os.environ.get("AMODAL_INT8_DEPTHFM", "")
+    if int8_env:
+        # W8A8 over the UNet+VAE (wide convs/linears only; output convs
+        # stay high precision). Opt-in, parity-breaking — same policy as
+        # the trunk int8 ladder. "1" = dynamic per-call activation
+        # scales; "calib" = static scales promoted from one calibration
+        # trace (removes the amax serialization that hurts b1 latency).
         from amodal_depth_anything_tpu.ops.quant import \
             quantize_diffusion_int8
         # jit the tree walk: eagerly it is several hundred one-at-a-time
@@ -152,6 +155,37 @@ def bench_depthfm():
     attn_impl = os.environ.get("AMODAL_DEPTHFM_ATTN") or None
     if attn_impl:
         quant_tag += f" attn={attn_impl}"
+
+    if int8_env == "calib":
+        # static-scale promotion: one unrolled calibration trace on the
+        # bench inputs (ops/quant.py::calibrate_diffusion_scales)
+        from amodal_depth_anything_tpu.models.depthfm import (
+            _conditioning, _guide_latents, q_sample)
+        from amodal_depth_anything_tpu.models.unet_ldm import apply_unet
+        from amodal_depth_anything_tpu.models.vae import (vae_decode,
+                                                          vae_encode_mode)
+        from amodal_depth_anything_tpu.ops.quant import \
+            calibrate_diffusion_scales
+        cfg = model.config
+
+        def _calib_run(qp, rgb, m, o):
+            lat = vae_encode_mode(qp["vae"], rgb, cfg.vae)
+            cond = _guide_latents(qp, cfg, lat, None, m, o)
+            ca = _conditioning(qp, rgb.shape[0], rgb.dtype)
+            noise = jax.random.normal(jax.random.PRNGKey(1), lat.shape,
+                                      lat.dtype)
+            z = q_sample(lat, cfg.noising_step, noise,
+                         cfg.n_diffusion_timesteps)
+            for i in range(4):
+                t = jnp.full((rgb.shape[0],), i / 4.0, rgb.dtype)
+                v = apply_unet(qp["unet"], cfg.unet, z, t, context=cond,
+                               context_ca=ca, attn_impl=attn_impl)
+                z = z + 0.25 * v
+            vae_decode(qp["vae"], z, cfg.vae)
+
+        params = calibrate_diffusion_scales(params, _calib_run, ims,
+                                            mask, obs)
+        quant_tag = quant_tag.replace(" int8", " int8-calib")
 
     def run(p, b_ims, b_mask, b_obs, t=-1):
         # t=None = the exact path (quality comparisons): no tome AND no

@@ -253,3 +253,90 @@ def test_quantize_trunk_dynamic(rng):
                                        attn_impl="xla"))
     assert np.isfinite(got).all()
     assert np.abs(got - ref).mean() < 0.05, np.abs(got - ref).mean()
+
+
+def test_calibrate_diffusion_scales_promotes_exact(rng):
+    """Static promotion with margin=1.0 and the serving input as the
+    calibration input reproduces the dynamic path BIT-EXACTLY at a
+    single site (the static act_scale equals the amax the dynamic path
+    would compute), and the scale leaf lands on the right node."""
+    from amodal_depth_anything_tpu.ops.quant import (
+        calibrate_diffusion_scales, int8_linear, quantize_diffusion_int8)
+
+    w = rng.standard_normal((256, 256)).astype(np.float32)
+    b = rng.standard_normal((256,)).astype(np.float32)
+    tree = {"block": {"fc": {"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                      "norm": {"scale": jnp.ones((4,))}}}
+    q = quantize_diffusion_int8(tree)
+    assert q["block"]["fc"]["w"].dtype == jnp.int8
+    assert "act_scale" not in q["block"]["fc"]
+
+    x = jnp.asarray(rng.standard_normal((3, 256)).astype(np.float32))
+    dynamic = np.asarray(int8_linear(q["block"]["fc"], x))
+
+    def run(qp, x):
+        from amodal_depth_anything_tpu.ops import quant
+        return quant.int8_linear(qp["block"]["fc"], x)
+
+    qs = calibrate_diffusion_scales(q, run, x, margin=1.0)
+    fc = qs["block"]["fc"]
+    assert "act_scale" in fc
+    np.testing.assert_allclose(
+        float(fc["act_scale"]),
+        max(float(np.max(np.abs(x))) / 127.0, 1e-9), rtol=1e-6)
+    static = np.asarray(int8_linear(fc, x))
+    np.testing.assert_array_equal(static, dynamic)
+    # untouched leaves unchanged
+    np.testing.assert_array_equal(np.asarray(qs["block"]["norm"]["scale"]),
+                                  np.asarray(q["block"]["norm"]["scale"]))
+
+
+def test_calibrate_diffusion_scales_errors_without_sites():
+    import pytest
+
+    from amodal_depth_anything_tpu.ops.quant import \
+        calibrate_diffusion_scales
+
+    tree = {"fc": {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}}  # float
+
+    with pytest.raises(ValueError, match="no dynamic int8 sites"):
+        calibrate_diffusion_scales(tree, lambda qp, x: x, jnp.ones((2, 4)))
+
+
+def test_depthfm_pipeline_calibrated_int8(rng):
+    """Pipeline-level static promotion: quantize_int8(calibration=...)
+    bakes act_scale leaves in, the serving forward stays close to the
+    dynamic-int8 forward, and save/load_serving round-trips the static
+    tree dtype-exactly."""
+    import dataclasses
+
+    from amodal_depth_anything_tpu.pipeline.depthfm_pipeline import \
+        DepthFMPipeline
+
+    img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    mask = np.ones((40, 40), np.float32)
+    obs = rng.random((40, 40)).astype(np.float32)
+
+    def build():
+        return DepthFMPipeline.init_random(jax.random.PRNGKey(0), size=32,
+                                           num_steps=2)
+
+    dyn = build()
+    dyn.quantize_int8(min_conv_fan=16, min_lin_dim=16)
+    out_dyn = dyn(img, mask, obs)
+
+    cal = build()
+    cal.quantize_int8(min_conv_fan=16, min_lin_dim=16,
+                      calibration=(img, mask, obs), margin=1.0)
+    scales = [p for p in jax.tree_util.tree_leaves_with_path(cal.params)
+              if "act_scale" in jax.tree_util.keystr(p[0])]
+    assert scales, "no static act_scale leaves after calibration"
+    out_cal = cal(img, mask, obs)
+    assert np.isfinite(out_cal).all()
+    # same sites, scales = per-trajectory max vs per-step dynamic: close
+    assert np.abs(out_cal - out_dyn).mean() < 0.1
+
+    cal.save_serving("/tmp/dfm_calib_serving")
+    restored = DepthFMPipeline.load_serving("/tmp/dfm_calib_serving")
+    out_restored = restored(img, mask, obs)
+    np.testing.assert_array_equal(out_restored, out_cal)
