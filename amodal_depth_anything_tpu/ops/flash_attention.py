@@ -29,6 +29,7 @@ Design notes (why this is NOT a generic flash-attention port):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -108,42 +109,64 @@ def _maybe_lo(x, ref_dtype):
 # ------------------------------------------------------------------ forward
 
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *lse_rest, sm_scale: float,
-                     kv_len: int, precision):
+                     kv_len: int, precision, q_split: int = 1):
     # q_ref: [block_q, D]; k_ref/v_ref: [Nk_pad, D]; o_ref: [block_q, D];
     # lse_rest: optional ([block_q, 128] lane-padded lse ref; column 0
     # meaningful) — only materialized when the backward pass needs it
     # (writing it costs ~15% of the forward at 5330 tokens).
+    #
+    # q_split > 1: split the query block into q_split independent row
+    # chunks and interleave their compute so chunk i's VPU softmax has no
+    # data dependence on chunk i+1's QK^T MXU pass (and the PV pass of
+    # chunk i is independent of chunk i+1's softmax) — the scheduler may
+    # overlap the two units, hiding the softmax VPU residual (~3 ms of a
+    # 24.7 ms call at the vitg 5376-token shape). Row-exact: each query
+    # row's math (accumulation order included) is identical to q_split=1.
     q = q_ref[...].astype(jnp.float32) * (sm_scale * LOG2E)
     k = k_ref[...].astype(jnp.float32)
-    s = _dot(q, k, ((1,), (1,)), precision)  # [block_q, Nk_pad], log2 domain
-    nk_pad = k_ref.shape[0]
-    if kv_len < nk_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)  # == exp(s_nat - m_nat); denom unchanged
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    if lse_rest:
-        (lse_ref,) = lse_rest
-        # natural-log lse for the backward kernels: m is in log2 units
-        lse = m * (1.0 / LOG2E) + jnp.log(denom)
-        lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape).astype(jnp.float32)
-    p = _maybe_lo(p, v_ref.dtype)
     v = v_ref[...] if v_ref.dtype == jnp.bfloat16 else \
         v_ref[...].astype(jnp.float32)
-    o = _dot(p, v, ((1,), (0,)), precision)
-    o_ref[...] = (o / denom).astype(o_ref.dtype)
+    nk_pad = k_ref.shape[0]
+    block_q = q_ref.shape[0]
+    rows = block_q // q_split
+
+    def _softmax_rows(s):
+        if kv_len < nk_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)  # == exp(s_nat - m_nat); denom unchanged
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        return m, p, denom
+
+    # issue every chunk's QK^T first, then consume in order: chunk i's
+    # softmax/PV only depends on s[i], so the MXU can run ahead on
+    # s[i+1] / o[i] while the VPU reduces chunk i.
+    s_chunks = [_dot(q[i * rows:(i + 1) * rows], k, ((1,), (1,)), precision)
+                for i in range(q_split)]
+    for i, s in enumerate(s_chunks):
+        m, p, denom = _softmax_rows(s)
+        if lse_rest:
+            (lse_ref,) = lse_rest
+            # natural-log lse for the backward kernels: m is in log2 units
+            lse = m * (1.0 / LOG2E) + jnp.log(denom)
+            lse_ref[i * rows:(i + 1) * rows] = jnp.broadcast_to(
+                lse, (rows, lse_ref.shape[1])).astype(jnp.float32)
+        o = _dot(_maybe_lo(p, v_ref.dtype), v, ((1,), (0,)), precision)
+        o_ref[i * rows:(i + 1) * rows] = (o / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
                                              "interpret", "need_lse",
-                                             "kv_len"))
+                                             "kv_len", "q_split"))
 def _mha_fwd_pallas(q, k, v, *, sm_scale: float, block_q: int,
                     interpret: bool, need_lse: bool = True,
-                    kv_len: int | None = None):
+                    kv_len: int | None = None, q_split: int = 1):
     b, h, nq, d = q.shape
     nk = k.shape[2]
     kv_len = nk if kv_len is None else kv_len
+    if block_q % (q_split * 128):
+        q_split = 1  # chunks must stay MXU-tile aligned
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, 128)
     d_pad = _d_pad(d)
@@ -162,7 +185,7 @@ def _mha_fwd_pallas(q, k, v, *, sm_scale: float, block_q: int,
     lse_shape = jax.ShapeDtypeStruct((b * h, nq_pad, 128), jnp.float32)
     res = pl.pallas_call(
         functools.partial(_attn_fwd_kernel, sm_scale=sm_scale, kv_len=kv_len,
-                          precision=precision),
+                          precision=precision, q_split=q_split),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, block_q, d_pad), lambda g, i: (g, i, 0)),
@@ -352,18 +375,19 @@ def mha_reference(q, k, v, *, sm_scale: float | None = None,
     return o.astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _mha(q, k, v, sm_scale, block_q, interpret, kv_len):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _mha(q, k, v, sm_scale, block_q, interpret, kv_len, q_split):
     # primal (inference) path: skip the LSE output — only backward needs it
     out, _ = _mha_fwd_pallas(q, k, v, sm_scale=sm_scale, block_q=block_q,
                              interpret=interpret, need_lse=False,
-                             kv_len=kv_len)
+                             kv_len=kv_len, q_split=q_split)
     return out
 
 
-def _mha_fwd(q, k, v, sm_scale, block_q, interpret, kv_len):
+def _mha_fwd(q, k, v, sm_scale, block_q, interpret, kv_len, q_split):
     out, lse = _mha_fwd_pallas(q, k, v, sm_scale=sm_scale, block_q=block_q,
-                               interpret=interpret, kv_len=kv_len)
+                               interpret=interpret, kv_len=kv_len,
+                               q_split=q_split)
     # Named for remat policies: `jax.checkpoint(block, policy=
     # save_only_these_names("attn_out", "attn_lse"))` keeps these two
     # residuals (~24 MB/layer at 518 px b8) so the backward replay
@@ -373,7 +397,7 @@ def _mha_fwd(q, k, v, sm_scale, block_q, interpret, kv_len):
     return out, (q, k, v, out, lse)
 
 
-def _mha_bwd(sm_scale, block_q, interpret, kv_len, res, g):
+def _mha_bwd(sm_scale, block_q, interpret, kv_len, q_split, res, g):
     q, k, v, out, lse = res
     return _mha_bwd_pallas(q, k, v, out, lse, g, sm_scale=sm_scale,
                            block_q=block_q, interpret=interpret,
@@ -384,7 +408,8 @@ _mha.defvjp(_mha_fwd, _mha_bwd)
 
 
 def mha(q, k, v, *, sm_scale: float | None = None, block_q: int = 256,
-        interpret: bool = False, kv_len: int | None = None):
+        interpret: bool = False, kv_len: int | None = None,
+        q_split: int | None = None):
     """Pallas multi-head attention. q: [B,H,Nq,D]; k,v: [B,H,Nk,D].
 
     `kv_len`: true token count when the sequences are pre-padded to
@@ -392,7 +417,13 @@ def mha(q, k, v, *, sm_scale: float | None = None, block_q: int = 256,
     self-attention, queries) beyond it are treated as padding: keys are
     masked out of the softmax and their dk/dv are zeroed. Padded query
     rows MUST carry zero cotangents (true whenever the caller discards
-    them before the loss). Skips all per-layer pad/slice copies."""
+    them before the loss). Skips all per-layer pad/slice copies.
+
+    `q_split`: intra-kernel query-chunk interleave factor (row-exact; see
+    `_attn_fwd_kernel`). Default from AMODAL_ATTN_QSPLIT (1 = off);
+    silently reset to 1 when block_q is not a multiple of 128*q_split."""
+    if q_split is None:
+        q_split = int(os.environ.get("AMODAL_ATTN_QSPLIT", "1"))
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     # dtype-uniform operands: precision selection keys on q.dtype and the
@@ -408,4 +439,4 @@ def mha(q, k, v, *, sm_scale: float | None = None, block_q: int = 256,
     if nq % 128 == 0 and nq % block_q != 0:
         block_q = 128  # pre-aligned inputs: never re-pad internally
     return _mha(q, k, v, float(sm_scale), int(block_q), bool(interpret),
-                None if kv_len is None else int(kv_len))
+                None if kv_len is None else int(kv_len), int(q_split))

@@ -246,3 +246,42 @@ def test_bwd_grads_match_after_block_guard(rng):
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_mha_q_split_row_exact(rng):
+    """AMODAL_ATTN_QSPLIT interleave: splitting the query block into
+    independent row chunks must be ROW-EXACT vs q_split=1 (each row's
+    accumulation order is unchanged — only instruction interleave
+    differs), including the kv_len-masked and lse (grad) paths."""
+    from amodal_depth_anything_tpu.ops.flash_attention import (mha,
+                                                               pad_seq_len)
+
+    n = 300  # pads to 384 -> block_q 384? no: block_q=min(256, 384)=256
+    q = jnp.asarray(rng.standard_normal((1, 2, 512, 32), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 512, 32), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 512, 32), dtype=np.float32))
+
+    base = mha(q, k, v, interpret=True, q_split=1)
+    split = mha(q, k, v, interpret=True, q_split=2)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(split))
+
+    # model-padded + kv_len masking path
+    npad = pad_seq_len(n)
+    qm, km, vm = (t[:, :, :npad] for t in (q, k, v))
+    base_m = mha(qm, km, vm, interpret=True, kv_len=n, q_split=1)
+    split_m = mha(qm, km, vm, interpret=True, kv_len=n, q_split=2)
+    np.testing.assert_array_equal(np.asarray(base_m)[:, :, :n],
+                                  np.asarray(split_m)[:, :, :n])
+
+    # lse (training/grad) path: forward under grad writes the lse output
+    def loss(fn_q_split, *args):
+        return jnp.sum(mha(*args, interpret=True, q_split=fn_q_split) ** 2)
+
+    g1 = jax.grad(lambda *a: loss(1, *a), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: loss(2, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a q_split that does not divide the block is silently disabled
+    odd = mha(q, k, v, interpret=True, q_split=3)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(odd))
