@@ -41,4 +41,8 @@ run "depthfm int8=calib b1 latency" /tmp/b5_dfm_calib_b1.log \
   AMODAL_BENCH_DEPTHFM=1 AMODAL_INT8_DEPTHFM=calib AMODAL_BENCH_BATCH=1 python bench.py
 run "depthfm deepcache2 + int8=calib stack" /tmp/b5_dfm_dc_calib.log \
   AMODAL_BENCH_DEPTHFM=1 AMODAL_DEEPCACHE_DEPTHFM=2 AMODAL_INT8_DEPTHFM=calib python bench.py
+run "attention q_split interleave A/B (kernel-level, back-to-back)" /tmp/b5_qsplit_ab.log \
+  python benchmarks/attn_qsplit_ab.py
+run "flagship bench with AMODAL_ATTN_QSPLIT=2 (exact)" /tmp/b5_qsplit_bench.log \
+  AMODAL_ATTN_QSPLIT=2 python bench.py
 log "runbook v5 done"
