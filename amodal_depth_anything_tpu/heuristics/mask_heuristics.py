@@ -289,6 +289,26 @@ class MaskHeuristics:
 
         return run
 
+    def quantize_p2g_int8(self, *, weight_only: bool = True) -> None:
+        """Opt-in int8 for the pix2gestalt UNet (parity-breaking serving
+        knob, same ladder policy as the trunk/DepthFM int8 paths).
+
+        The 100-step DDIM loop re-reads every UNet param each step and
+        is PARAM-READ-BOUND (batched CFG measured neutral on v5e for
+        exactly this reason; DeepCache's 1.7x comes from skipping the
+        deep levels' param traffic). `weight_only=True` (default) stores
+        int8 weights dequantized on the fly — halves the bytes the loop
+        is bound on, no activation-quant error, no per-site amax
+        reductions. `weight_only=False` is dynamic W8A8 (int8 MXU rate,
+        adds amax reductions per site per step). Stacks with
+        `ddim_deep_cache`."""
+        from ..ops.quant import quantize_diffusion_int8
+        self.p2g_params = dict(self.p2g_params)
+        self.p2g_params["unet"] = jax.jit(
+            lambda t: quantize_diffusion_int8(t, weight_only=weight_only)
+        )(self.p2g_params["unet"])
+        self.__dict__.pop("_p2g_jit", None)  # rebuild the cached program
+
     def pix2gestalt_completion(self, image_rgb: np.ndarray,
                                visible_mask: np.ndarray,
                                seed: int = 0) -> np.ndarray:

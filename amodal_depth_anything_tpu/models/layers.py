@@ -38,6 +38,9 @@ def linear_init(key, d_in: int, d_out: int, *, std: float = 0.02) -> dict:
 
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
+    if "w8" in p:  # opt-in weight-only int8 serving path (ops/quant.py)
+        from ..ops.quant import w8_linear
+        return w8_linear(p, x)
     if p["w"].dtype == jnp.int8:  # opt-in W8A8 serving path (ops/quant.py)
         from ..ops.quant import int8_linear
         return int8_linear(p, x)

@@ -240,6 +240,9 @@ def group_norm(p, x, groups: int = 32, eps: float = 1e-5):
 
 
 def _lin(p, x):
+    if "w8" in p:  # weight-only int8 serving (ops/quant.py)
+        from ..ops.quant import w8_linear
+        return w8_linear(p, x)
     if p["w"].dtype == jnp.int8:  # W8A8 serving (ops/quant.py)
         from ..ops.quant import int8_linear
         return int8_linear(p, x)
@@ -378,7 +381,9 @@ def _apply_layers(params, layers, x, emb, context_ca, cfg, attn_impl,
         elif kind == "down":
             x = conv2d(p, x, stride=2, padding=1)
         elif kind == "up":
-            if p["w"].dtype == jnp.int8:  # W8A8 serving path
+            # weight-only 'w8' trees keep the fused path (it dequantizes
+            # before the fold); W8A8 must unfuse (int8 conv can't fold)
+            if "w8" not in p and p["w"].dtype == jnp.int8:
                 x = resize_nearest(x, scale_factor=2.0)
                 x = conv2d(p, x, padding=1)
             else:

@@ -134,6 +134,9 @@ def init_vae(key, cfg: VAEConfig = SD_VAE) -> dict:
 
 
 def _lin(p, x):
+    if "w8" in p:  # weight-only int8 serving (ops/quant.py)
+        from ..ops.quant import w8_linear
+        return w8_linear(p, x)
     if p["w"].dtype == jnp.int8:  # W8A8 serving (ops/quant.py)
         from ..ops.quant import int8_linear
         return int8_linear(p, x)
@@ -210,10 +213,13 @@ def vae_decode(params: dict, z: jax.Array,
         for j in range(cfg.layers_per_block + 1):
             h = _resnet(blk["resnets"][str(j)], h)
         if "upsampler" in blk:
-            if blk["upsampler"]["w"].dtype == jnp.int8:  # W8A8 serving path
+            # weight-only 'w8' trees keep the fused path (dequant precedes
+            # the fold); W8A8 must unfuse (int8 conv can't fold)
+            up = blk["upsampler"]
+            if "w8" not in up and up["w"].dtype == jnp.int8:
                 h = resize_nearest(h, scale_factor=2.0)
-                h = conv2d(blk["upsampler"], h, padding=1)
+                h = conv2d(up, h, padding=1)
             else:
-                h = fused_upsample2x_conv(blk["upsampler"], h)
+                h = fused_upsample2x_conv(up, h)
     h = jax.nn.silu(group_norm(dec["conv_norm_out"], h, eps=1e-6))
     return conv2d(dec["conv_out"], h, padding=1)

@@ -40,7 +40,11 @@ def conv2d(p: dict, x: jax.Array, *, stride: int = 1, padding="SAME") -> jax.Arr
 
     Dispatches to the W8A8 int8 path when `p` holds an int8 kernel (see
     ops/quant.py::quantize_conv_int8) — v5e runs int8 convs at up to
-    3.4x the bf16 rate at DPT-head shapes."""
+    3.4x the bf16 rate at DPT-head shapes — and to the weight-only
+    dequant path for 'w8' trees (quantize_conv_w8)."""
+    if "w8" in p:
+        from .quant import w8_conv2d
+        return w8_conv2d(p, x, stride=stride, padding=padding)
     if p["w"].dtype == jnp.int8:
         from .quant import int8_conv2d
         return int8_conv2d(p, x, stride=stride, padding=padding)
@@ -78,7 +82,11 @@ def fused_upsample2x_conv(p: dict, x: jax.Array) -> jax.Array:
     cast-to-x.dtype, so it matches the unfused op up to one rounding of
     the folded weight (exact at f32/HIGHEST parity settings).
     """
-    w = p["w"].astype(jnp.float32)  # [3,3,C,Cout]
+    if "w8" in p:  # weight-only int8: dequant then fold (fold is f32 anyway)
+        from .quant import w8_weight
+        w = w8_weight(p, jnp.float32)  # [3,3,C,Cout]
+    else:
+        w = p["w"].astype(jnp.float32)  # [3,3,C,Cout]
     if w.shape[:2] != (3, 3):
         raise ValueError(f"fused_upsample2x_conv needs a 3x3 kernel, got "
                          f"{w.shape}")

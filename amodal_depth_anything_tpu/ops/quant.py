@@ -39,6 +39,8 @@ __all__ = ["quantize_linear_int8", "quantize_vit_trunk_int8",
            "quantize_diffusion_int8",
            "collect_trunk_act_stats", "calibrate_amodal_dav2",
            "merge_act_stats", "int8_linear", "int8_conv2d",
+           "quantize_linear_w8", "quantize_conv_w8", "w8_weight",
+           "w8_linear", "w8_conv2d",
            "quantize_conv_int8", "collect_dpt_head_act_stats",
            "quantize_dpt_head_int8", "calibrate_dav2_head", "ACT_SIGMA"]
 
@@ -276,6 +278,74 @@ def int8_conv2d(p: dict, x: jax.Array, *, stride: int = 1,
     return y.astype(x.dtype)
 
 
+# -------------------------------------------------- weight-only int8 (W8)
+
+def quantize_linear_w8(p: dict) -> dict:
+    """Weight-ONLY per-output-channel int8 of a linear {'w': [.., in, out]}.
+
+    Params are stored int8 in HBM (half the bytes of bf16) and
+    dequantized at use; activations stay full precision. The right
+    scheme for PARAM-READ-BOUND serving loops — the pix2gestalt 100-step
+    DDIM re-reads all ~860M UNet params every step (batched CFG measured
+    neutral for exactly this reason), so halving weight bytes attacks
+    the actual bottleneck with no activation-quant error and no dynamic
+    amax reductions. Key is 'w8' (not 'w') so dispatch sites distinguish
+    it from the W8A8 trees."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    s_w = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+    s_w = jnp.maximum(s_w, 1e-12)
+    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    out = {"w8": w_q, "w_scale": jnp.squeeze(s_w, -2)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_conv_w8(p: dict) -> dict:
+    """Weight-only per-output-channel int8 of a conv {'w': [kh,kw,ci,co]}."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True) / 127.0
+    s_w = jnp.maximum(s_w, 1e-12)
+    w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    out = {"w8": w_q, "w_scale": s_w.reshape(-1)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def w8_weight(p: dict, dtype) -> jax.Array:
+    """Dequantized kernel in the compute dtype. The int8->f32 convert and
+    per-channel scale are elementwise producers of the conv/dot operand —
+    XLA fuses them into the consumer where supported, so HBM sees only
+    the int8 bytes."""
+    w8, s = p["w8"], p["w_scale"]
+    if s.ndim == w8.ndim - 1:  # stacked linear: [L, in, out] with [L, out]
+        s = s[..., None, :]
+    return (w8.astype(jnp.float32) * s).astype(dtype)
+
+
+def w8_linear(p: dict, x: jax.Array) -> jax.Array:
+    from .precision import dot_precision
+    y = jnp.dot(x, w8_weight(p, x.dtype), precision=dot_precision(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def w8_conv2d(p: dict, x: jax.Array, *, stride: int = 1,
+              padding="SAME") -> jax.Array:
+    from .precision import dot_precision
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x, w8_weight(p, x.dtype), window_strides=(stride, stride),
+        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=dot_precision(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
 # ----------------------------------------------------------- DPT head int8
 
 def collect_dpt_head_act_stats(params: dict, cfg, features,
@@ -435,7 +505,7 @@ def calibrate_dav2_head(params: dict, cfg, x: jax.Array, *,
 def quantize_diffusion_int8(params: dict, *, min_conv_fan: int = 512,
                             min_lin_dim: int = 256,
                             skip_suffixes: tuple = ("out/conv", "conv_out"),
-                            ) -> dict:
+                            weight_only: bool = False) -> dict:
     """W8A8 with DYNAMIC per-tensor activation scales for diffusion trees
     (LDM UNet / SD VAE): walk the pytree and quantize every wide conv
     (kh*kw*cin >= min_conv_fan) and every wide linear (both dims >=
@@ -448,7 +518,11 @@ def quantize_diffusion_int8(params: dict, *, min_conv_fan: int = 512,
     decoded image / eps prediction).
 
     Parity-breaking by design — opt-in serving only, same policy as the
-    trunk/head int8 path."""
+    trunk/head int8 path.
+
+    `weight_only=True` produces weight-only int8 trees instead
+    (`quantize_*_w8`): int8 param storage, full-precision activations and
+    matmuls — the knob for param-read-bound loops (pix2gestalt DDIM)."""
     def walk(tree, path):
         if not isinstance(tree, dict):
             return tree
@@ -459,10 +533,12 @@ def quantize_diffusion_int8(params: dict, *, min_conv_fan: int = 512,
                 return tree
             if getattr(w, "ndim", 0) == 4 and (
                     w.shape[0] * w.shape[1] * w.shape[2] >= min_conv_fan):
-                return quantize_conv_int8(tree)
+                return quantize_conv_w8(tree) if weight_only else \
+                    quantize_conv_int8(tree)
             if getattr(w, "ndim", 0) == 2 and (
                     w.shape[0] >= min_lin_dim and w.shape[1] >= min_lin_dim):
-                return quantize_linear_int8(tree, None)
+                return quantize_linear_w8(tree) if weight_only else \
+                    quantize_linear_int8(tree, None)
             return tree
         return {k: walk(v, path + (k,)) for k, v in tree.items()}
 

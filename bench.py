@@ -105,19 +105,22 @@ def bench_depthfm():
     params_exact = None
     int8_env = os.environ.get("AMODAL_INT8_DEPTHFM", "")
     if int8_env:
-        # W8A8 over the UNet+VAE (wide convs/linears only; output convs
+        # int8 over the UNet+VAE (wide convs/linears only; output convs
         # stay high precision). Opt-in, parity-breaking — same policy as
         # the trunk int8 ladder. "1" = dynamic per-call activation
         # scales; "calib" = static scales promoted from one calibration
-        # trace (removes the amax serialization that hurts b1 latency).
+        # trace (removes the amax serialization that hurts b1 latency);
+        # "wo" = weight-only int8 (no activation quant at all — halves
+        # param HBM bytes, the small-batch/param-read lever).
         from amodal_depth_anything_tpu.ops.quant import \
             quantize_diffusion_int8
         # jit the tree walk: eagerly it is several hundred one-at-a-time
         # op dispatches (~0.8 s/op through the tunnel)
         params_exact = params if \
             os.environ.get("AMODAL_QUALITY", "") == "1" else None
-        params = jax.jit(quantize_diffusion_int8)(params)
-        quant_tag = " int8"
+        params = jax.jit(lambda t: quantize_diffusion_int8(
+            t, weight_only=(int8_env == "wo")))(params)
+        quant_tag = f" int8={'wo' if int8_env == 'wo' else 'w8a8'}"
 
     ims = jax.random.uniform(jax.random.PRNGKey(7), (batch, size, size, 3),
                              dtype, -1.0, 1.0)
@@ -272,6 +275,10 @@ def bench_heuristics():
         dc = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 3)
     mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=ddim_steps,
                                      ddim_deep_cache=dc)
+    # AMODAL_INT8_P2G: "1" = weight-only int8 UNet (halves the param
+    # bytes the 100-step DDIM loop is read-bound on), "w8a8" = dynamic
+    # W8A8. Opt-in, parity-breaking — same ladder policy as DeepCache.
+    int8_env = os.environ.get("AMODAL_INT8_P2G", "")
     if os.environ.get("AMODAL_QUALITY", "") == "1":
         mh.p2g_params = dict(mh.p2g_params)
         mh.p2g_params["unet"] = jax.jit(_jitter_tree)(mh.p2g_params["unet"])
@@ -286,23 +293,25 @@ def bench_heuristics():
     sam_first_s = time.perf_counter() - t0
 
     quality = None
-    if os.environ.get("AMODAL_QUALITY", "") == "1" and dc:
-        # exact-path completion for the DeepCache delta, computed BEFORE
-        # the deep-cache program is built (the p2g jit is a cached
-        # property keyed on the config)
+    if os.environ.get("AMODAL_QUALITY", "") == "1" and (dc or int8_env):
+        # exact-path completion for the optimized-knob delta, computed
+        # BEFORE the deep-cache program is built / the params are
+        # quantized (the p2g jit is a cached property keyed on the config)
         saved = mh.p2g_cfg
         mh.p2g_cfg = dataclasses.replace(saved, ddim_deep_cache=None)
         mh.__dict__.pop("_p2g_jit", None)
         exact = mh.pix2gestalt_completion(image, visible)
         mh.p2g_cfg = saved
         mh.__dict__.pop("_p2g_jit", None)
+    if int8_env:
+        mh.quantize_p2g_int8(weight_only=(int8_env != "w8a8"))
 
     t0 = time.perf_counter()
     completion = mh.pix2gestalt_completion(image, visible)
     p2g_first_s = time.perf_counter() - t0
     assert np.isfinite(completion).all()
     if quality is None and os.environ.get("AMODAL_QUALITY", "") == "1" \
-            and dc:
+            and (dc or int8_env):
         d = np.abs(exact - completion)
         quality = {"completion_max_abs": round(float(d.max()), 6),
                    "completion_mean_abs": round(float(d.mean()), 6)}
@@ -320,6 +329,8 @@ def bench_heuristics():
         "metric": f"heuristics completions/sec (SAM vit-h @ {hw}px + "
                   f"pix2gestalt {ddim_steps}-step DDIM"
                   + (f" deepcache={dc_env}" if dc_env else "")
+                  + (f" int8={'wo' if int8_env != 'w8a8' else 'w8a8'}"
+                     if int8_env else "")
                   + f"; first-call compile "
                   f"sam {sam_first_s:.0f}s p2g {p2g_first_s:.0f}s)",
         "value": round(1.0 / p50, 3),

@@ -340,3 +340,99 @@ def test_depthfm_pipeline_calibrated_int8(rng):
     restored = DepthFMPipeline.load_serving("/tmp/dfm_calib_serving")
     out_restored = restored(img, mask, obs)
     np.testing.assert_array_equal(out_restored, out_cal)
+
+
+def test_quantize_diffusion_weight_only(rng):
+    """Weight-only int8 ('w8' trees): wide sites store int8 weights +
+    per-channel scales and NO activation quantization; the dequantized
+    forward tracks the f32 model tighter than W8A8 (weight rounding is
+    the only error source) and the fused upsample path still runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.models.depthfm import (
+        DepthFMConfig, depthfm_generate, init_depthfm)
+    from amodal_depth_anything_tpu.ops.quant import quantize_diffusion_int8
+
+    cfg = DepthFMConfig(guide_type="mask+observation", model_channels=64,
+                        channel_mult=(1, 2), num_heads=2, context_dim=64,
+                        vae_channels=(32, 64), vae_layers=1)
+    params = jax.jit(lambda k: init_depthfm(k, cfg))(jax.random.PRNGKey(0))
+    q = quantize_diffusion_int8(params, min_conv_fan=128, min_lin_dim=48,
+                                weight_only=True)
+
+    blk = q["unet"]["input_blocks"]["1"]["0"]["conv1"]
+    assert "w" not in blk and blk["w8"].dtype == jnp.int8
+    assert "act_scale" not in blk
+    assert q["unet"]["out"]["conv"]["w"].dtype != jnp.int8  # skipped
+    assert q["vae"]["decoder"]["conv_out"]["w"].dtype != jnp.int8
+    aq = q["vae"]["decoder"]["mid_block"]["attentions"]["0"]["to_q"]
+    assert aq["w8"].dtype == jnp.int8 and aq["w_scale"].ndim == 1
+
+    ims = jnp.asarray(rng.random((1, 32, 32, 3)) * 2 - 1, jnp.float32)
+    mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+    obs = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    ref = np.asarray(depthfm_generate(params, cfg, jax.random.PRNGKey(1),
+                                      ims, num_steps=2, guide_mask=mask,
+                                      observation=obs, attn_impl="xla"))
+    got = np.asarray(depthfm_generate(q, cfg, jax.random.PRNGKey(1),
+                                      ims, num_steps=2, guide_mask=mask,
+                                      observation=obs, attn_impl="xla"))
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).mean() < 0.04, np.abs(got - ref).mean()
+
+
+def test_w8_ops_match_dequantized_reference(rng):
+    """w8_linear / w8_conv2d / the fused-upsample 'w8' branch must equal
+    running the plain op on the explicitly dequantized kernel."""
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.models.layers import linear
+    from amodal_depth_anything_tpu.ops.conv import (conv2d,
+                                                    fused_upsample2x_conv)
+    from amodal_depth_anything_tpu.ops.quant import (quantize_conv_w8,
+                                                     quantize_linear_w8,
+                                                     w8_weight)
+
+    lp = {"w": jnp.asarray(rng.standard_normal((48, 64)), jnp.float32),
+          "b": jnp.asarray(rng.standard_normal((64,)), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((5, 48)), jnp.float32)
+    lq = quantize_linear_w8(lp)
+    ref = x @ w8_weight(lq, jnp.float32) + lp["b"]
+    np.testing.assert_allclose(np.asarray(linear(lq, x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    cp = {"w": jnp.asarray(rng.standard_normal((3, 3, 16, 32)), jnp.float32),
+          "b": jnp.asarray(rng.standard_normal((32,)), jnp.float32)}
+    xc = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    cq = quantize_conv_w8(cp)
+    ref_c = conv2d({"w": w8_weight(cq, jnp.float32), "b": cp["b"]}, xc,
+                   padding=1)
+    np.testing.assert_allclose(np.asarray(conv2d(cq, xc, padding=1)),
+                               np.asarray(ref_c), rtol=1e-5, atol=1e-5)
+
+    fused_q = np.asarray(fused_upsample2x_conv(cq, xc))
+    fused_ref = np.asarray(fused_upsample2x_conv(
+        {"w": w8_weight(cq, jnp.float32), "b": cp["b"]}, xc))
+    np.testing.assert_allclose(fused_q, fused_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_heuristics_p2g_int8_knob(rng):
+    """MaskHeuristics.quantize_p2g_int8 rebuilds the jitted program and
+    the completion stays finite and close to the unquantized one."""
+    import jax
+
+    from amodal_depth_anything_tpu.heuristics.mask_heuristics import \
+        MaskHeuristics
+
+    mh = MaskHeuristics.init_random(jax.random.PRNGKey(0), tiny=True)
+    import dataclasses
+    mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=2)
+    image = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    visible = (rng.random((64, 64)) > 0.5)
+    exact = mh.pix2gestalt_completion(image, visible)
+    mh.quantize_p2g_int8(weight_only=True)
+    got = mh.pix2gestalt_completion(image, visible)
+    assert np.isfinite(got).all()
+    assert got.shape == exact.shape
+    assert np.abs(got - exact).mean() < 0.08, np.abs(got - exact).mean()
