@@ -165,8 +165,8 @@ def _mha_fwd_pallas(q, k, v, *, sm_scale: float, block_q: int,
     b, h, nq, d = q.shape
     nk = k.shape[2]
     kv_len = nk if kv_len is None else kv_len
-    if block_q % (q_split * 128):
-        q_split = 1  # chunks must stay MXU-tile aligned
+    if q_split < 1 or block_q % (q_split * 128):
+        q_split = 1  # chunks must stay MXU-tile aligned; <1 means "off"
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, 128)
     d_pad = _d_pad(d)

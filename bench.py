@@ -65,6 +65,37 @@ A100_PYTORCH_EST_IMG_PER_SEC = 4.3
 A100_DEPTHFM_EST_IMG_PER_SEC = 3.0
 
 
+def _amortized_p50_ms(run, sync, n=20, repeats=3):
+    """Tunnel-robust single-image latency.
+
+    Round 2 regression post-mortem (VERDICT r2): timing each batch-1 call
+    individually pays a full tunnel-roundtrip scalar sync per sample; on a
+    degraded tunnel the sync dominates and the recorded p50 tripled (1263
+    vs 370 ms for identical code). Instead: dispatch n calls back-to-back
+    (async dispatch queues them; the single device executes serially), sync
+    once, subtract one measured sync roundtrip, and divide. Repeat and take
+    the median, so one tunnel hiccup can't own the headline.
+    """
+    out = run()
+    sync(out)  # warm
+    # sync roundtrip on an already-materialized array: tiny reduce + fetch
+    rts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(out)
+        rts.append(time.perf_counter() - t0)
+    roundtrip = sorted(rts)[1]
+    per_call = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = run()
+        sync(out)
+        total = time.perf_counter() - t0
+        per_call.append(max(total - roundtrip, 0.0) / n)
+    return sorted(per_call)[len(per_call) // 2] * 1e3
+
+
 def _jitter_tree(p, *, seed=99, scale=0.02):
     """Jitter every leaf: zero_module parity zeroes the UNet output convs
     at init, which makes optimized-vs-exact quality deltas vacuous on
@@ -224,14 +255,9 @@ def bench_depthfm():
     dt = time.perf_counter() - t0
     img_per_sec = batch * iters / dt
 
-    lat = []
     i1, m1, o1 = ims[:1], mask[:1], obs[:1]
-    sync(run(params, i1, m1, o1))
-    for _ in range(5):
-        t0 = time.perf_counter()
-        sync(run(params, i1, m1, o1))
-        lat.append(time.perf_counter() - t0)
-    p50_ms = sorted(lat)[len(lat) // 2] * 1e3
+    p50_ms = _amortized_p50_ms(lambda: run(params, i1, m1, o1), sync,
+                               n=20 if on_tpu else 2)
 
     line = {
         "metric": f"depthfm-amodal images/sec/chip @ {size}px (4-step "
@@ -654,13 +680,7 @@ def main():
                                   size=size, base_token_merge=base_tm,
                                   amodal_token_merge=amodal_tm)[1]
 
-    sync(run1())
-    lat = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        sync(run1())
-        lat.append(time.perf_counter() - t0)
-    p50_ms = sorted(lat)[len(lat) // 2] * 1e3
+    p50_ms = _amortized_p50_ms(run1, sync, n=20 if on_tpu else 2)
 
     # AMODAL_QUALITY=1: quality gate for the parity-breaking serving
     # modes — blended-depth delta vs the EXACT (unquantized, unmerged)

@@ -256,7 +256,7 @@ def test_mha_q_split_row_exact(rng):
     from amodal_depth_anything_tpu.ops.flash_attention import (mha,
                                                                pad_seq_len)
 
-    n = 300  # pads to 384 -> block_q 384? no: block_q=min(256, 384)=256
+    del pad_seq_len  # nq=512 keeps block_q=256, so q_split=2 stays ACTIVE
     q = jnp.asarray(rng.standard_normal((1, 2, 512, 32), dtype=np.float32))
     k = jnp.asarray(rng.standard_normal((1, 2, 512, 32), dtype=np.float32))
     v = jnp.asarray(rng.standard_normal((1, 2, 512, 32), dtype=np.float32))
@@ -265,11 +265,15 @@ def test_mha_q_split_row_exact(rng):
     split = mha(q, k, v, interpret=True, q_split=2)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(split))
 
-    # model-padded + kv_len masking path
-    npad = pad_seq_len(n)
-    qm, km, vm = (t[:, :, :npad] for t in (q, k, v))
-    base_m = mha(qm, km, vm, interpret=True, kv_len=n, q_split=1)
-    split_m = mha(qm, km, vm, interpret=True, kv_len=n, q_split=2)
+    # kv_len masking path UNDER AN ACTIVE SPLIT (round-2 advisor: with
+    # nq=384 block_q drops to 128 and q_split=2 silently resets to 1,
+    # making the comparison vacuous — keep nq=512 / block_q=256 here and
+    # assert the split really is on, matching the production vitg/vitl
+    # masked configuration)
+    n = 500
+    assert 256 % (2 * 128) == 0  # split stays aligned -> genuinely active
+    base_m = mha(q, k, v, interpret=True, kv_len=n, q_split=1)
+    split_m = mha(q, k, v, interpret=True, kv_len=n, q_split=2)
     np.testing.assert_array_equal(np.asarray(base_m)[:, :, :n],
                                   np.asarray(split_m)[:, :, :n])
 
@@ -282,6 +286,9 @@ def test_mha_q_split_row_exact(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # a q_split that does not divide the block is silently disabled
+    # a q_split that does not divide the block is silently disabled,
+    # and q_split<1 means "off" (was a trace-time ZeroDivisionError)
     odd = mha(q, k, v, interpret=True, q_split=3)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(odd))
+    off = mha(q, k, v, interpret=True, q_split=0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(off))
