@@ -5,6 +5,16 @@ the converter + parity + quality gates and prints a pass/fail table —
 so the day the network-blocked checkpoints land, every ROADMAP
 "verify when available" item has a ready-to-run row:
 
+    # checkpoint day: drop everything in one directory and run
+    python -m amodal_depth_anything_tpu.scripts.verify_checkpoints \
+        --all work_dir/ckp --quality
+
+    # rehearsal (no network): synthesize tiny ckpts in the EXACT on-disk
+    # formats and run the same gate end-to-end
+    python -m amodal_depth_anything_tpu.scripts.verify_checkpoints \
+        --rehearse [DIR] [--skip_chain --size 126  # fast variant]
+
+    # or per-artifact flags
     python -m amodal_depth_anything_tpu.scripts.verify_checkpoints \
         --dav2_base work_dir/ckp/amodal_depth_anything_base.pth \
         --dav2_amodal path/to/model.safetensors \
@@ -44,8 +54,39 @@ import numpy as np
 REFERENCE = "/root/reference"
 
 
+CANONICAL = (
+    # (args attr, filenames the reference ecosystem ships)
+    ("dav2_base", ("amodal_depth_anything_base.pth",
+                   "depth_anything_v2_vitg.pth")),
+    ("dav2_amodal", ("model.safetensors",)),
+    ("depthfm", ("depthfm-v1.ckpt",)),
+    ("depthfm_vae", ("vae.pth", "sd-vae-ft-mse.pth",
+                     "diffusion_pytorch_model.safetensors")),
+    ("sam", ("sam_vit_h.pth", "sam_vit_h_4b8939.pth")),
+    ("pix2gestalt", ("epoch=000005.ckpt",)),
+    ("rmbg", ("rmbg14.pth", "rmbg-1.4.pth", "model.pth")),
+    ("invisible_stitch", ("invisible-stitch.pt", "invisible_stitch.pt")),
+)
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--all", default=None, metavar="DIR",
+                   help="scan DIR for every canonically-named checkpoint "
+                        "the reference loads (infer.py:59-69, app.py:41-60)"
+                        " and verify all of them; individual --<name> "
+                        "flags override per artifact")
+    p.add_argument("--rehearse", nargs="?", const="", default=None,
+                   metavar="DIR",
+                   help="synthesize tiny checkpoints in the exact on-disk "
+                        "formats (pth/safetensors/LDM ckpt) into DIR (or a "
+                        "temp dir) and run the whole gate on them — the "
+                        "checkpoint-day dry run; implies --all and "
+                        "--quality and tiny converter configs")
+    p.add_argument("--tiny", action="store_true",
+                   help="use the tiny test configs for the SAM/RMBG/"
+                        "ZoeDepth/pix2gestalt converter rows (matches the "
+                        "checkpoints --rehearse synthesizes)")
     p.add_argument("--dav2_base", default=None)
     p.add_argument("--dav2_amodal", default=None)
     p.add_argument("--depthfm", default=None)
@@ -64,6 +105,12 @@ def build_parser():
     p.add_argument("--mask", default=None)
     p.add_argument("--quality", action="store_true",
                    help="run int8/ToMe quality-delta rows")
+    p.add_argument("--gate_max_abs", type=float, default=None,
+                   help="enforce the acceptance gate on the quality rows: "
+                        "an optimized mode FAILs when its max-abs delta "
+                        "exceeds this (checkpoint day: 0.05, the "
+                        "pipeline/quality.py QUALITY_GATE); default "
+                        "report-only")
     p.add_argument("--tome_base", default=None,
                    help="'layer,r' for the base trunk (default: merge "
                         "half the tokens after the first tap)")
@@ -76,6 +123,118 @@ def build_parser():
     p.add_argument("--reference", default=REFERENCE)
     p.add_argument("--output", default=None)
     return p
+
+
+def tiny_configs() -> dict:
+    """The tiny converter configs used by --rehearse / --tiny (identical
+    to the round-trip tests', so a rehearsal exercises the same layouts)."""
+    from ..heuristics.mask_heuristics import Pix2GestaltConfig
+    from ..models.beit import BEiTConfig
+    from ..models.rmbg import RMBGConfig
+    from ..models.sam import SAMConfig
+    from ..models.zoedepth import ZoeDepthConfig
+
+    return {
+        "sam": SAMConfig(img_size=64, embed_dim=32, depth=2, num_heads=2,
+                         window_size=2, global_blocks=(1,), out_chans=32,
+                         decoder_dim=32, decoder_heads=2),
+        "rmbg": RMBGConfig(width=8, stage_mid=(4, 4, 4, 8, 8, 8),
+                           stage_out=(8, 8, 16, 16, 16, 16),
+                           dec_mid=(4, 4, 4, 8, 8)),
+        "zoe": ZoeDepthConfig(
+            backbone=BEiTConfig(embed_dim=64, depth=2, num_heads=2,
+                                img_size=64, in_chans=5),
+            hooks=(0, 1), tap_channels=(8, 16, 32, 32), features=16,
+            n_bins=8, bin_embedding_dim=16, n_attractors=(4, 2, 2, 1),
+            midas_out=8),
+        "p2g": Pix2GestaltConfig(model_channels=32, channel_mult=(1, 2),
+                                 num_heads=2, context_dim=32),
+    }
+
+
+def synthesize_rehearsal(outdir: str) -> None:
+    """Write tiny synthetic checkpoints into outdir in the EXACT on-disk
+    formats the reference ecosystem ships (torch .pth state dicts, HF
+    safetensors, LDM ckpt dicts with hparams) via the package's inverse
+    converters, so `--rehearse` proves the whole gate end-to-end with no
+    network. DAV2 pair is vits (the smallest encoder the reference's own
+    infer chain supports) so the <1e-3 full-chain gate runs for real."""
+    import jax
+    import torch
+    from safetensors.numpy import save_file
+
+    from ..convert import emit_torch as E
+    from ..models.amodal_dav2 import DAV2Config, init_amodal_dav2
+    from ..models.rmbg import init_rmbg
+    from ..models.sam import init_sam
+    from ..models.unet_ldm import UNetConfig, init_unet
+    from ..models.vae import VAEConfig, init_vae
+    from ..models.zoedepth import init_zoedepth
+
+    os.makedirs(outdir, exist_ok=True)
+    tc = tiny_configs()
+
+    def _t(sd):
+        return {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}
+
+    # DAV2 raw base -> torch pth (reference infer.py:59-60 format)
+    raw_cfg = DAV2Config(encoder="vits", guide_type="none", raw=True)
+    raw_p = jax.jit(lambda k: init_amodal_dav2(k, raw_cfg))(
+        jax.random.PRNGKey(10))
+    torch.save(_t(E.emit_dav2_sd(raw_p, raw_cfg)),
+               os.path.join(outdir, "amodal_depth_anything_base.pth"))
+
+    # AmodalDAv2 -> HF safetensors (Zhyever/Amodal-Depth-Anything-DAV2)
+    am_cfg = DAV2Config(encoder="vits", guide_type="mask+observation")
+    am_p = jax.jit(lambda k: init_amodal_dav2(k, am_cfg))(
+        jax.random.PRNGKey(11))
+    save_file({k: np.ascontiguousarray(v) for k, v in
+               E.emit_dav2_sd(am_p, am_cfg).items()},
+              os.path.join(outdir, "model.safetensors"))
+
+    # DepthFM -> LDM ckpt dict with hparams (depthfm-v1.ckpt layout)
+    ucfg = UNetConfig(in_channels=8, model_channels=32, channel_mult=(1, 2),
+                      num_heads=2, context_dim=32)
+    unet = jax.jit(lambda k: init_unet(k, ucfg))(jax.random.PRNGKey(12))
+    torch.save({
+        "ldm_hparams": {"context_dim": 32, "model_channels": 32,
+                        "channel_mult": [1, 2], "num_heads": 2},
+        "noising_step": 400,
+        "state_dict": _t(E.emit_unet_sd(unet, ucfg)),
+        "empty_text_embedding": np.zeros((7, 32), np.float32),
+    }, os.path.join(outdir, "depthfm-v1.ckpt"))
+
+    # SD VAE -> diffusers-layout pth
+    vae = jax.jit(lambda k: init_vae(
+        k, VAEConfig(block_out_channels=(16, 32), layers_per_block=1)))(
+        jax.random.PRNGKey(13))
+    torch.save(_t(E.emit_vae_sd(vae)), os.path.join(outdir, "vae.pth"))
+
+    # SAM -> pth (app.py:35 format)
+    sam = jax.jit(lambda k: init_sam(k, tc["sam"]))(jax.random.PRNGKey(14))
+    torch.save(_t(E.emit_sam_sd(sam)),
+               os.path.join(outdir, "sam_vit_h.pth"))
+
+    # pix2gestalt -> LDM ckpt with state_dict (epoch=000005.ckpt layout)
+    p2g_unet = jax.jit(lambda k: init_unet(k, tc["p2g"].unet))(
+        jax.random.PRNGKey(15))
+    torch.save(
+        {"state_dict": _t(E.emit_pix2gestalt_ckpt_sd(p2g_unet,
+                                                     tc["p2g"].unet))},
+        os.path.join(outdir, "epoch=000005.ckpt"))
+
+    # RMBG -> pth with live BN stats
+    rmbg = jax.jit(lambda k: init_rmbg(k, tc["rmbg"]))(jax.random.PRNGKey(16))
+    torch.save(_t(E.emit_rmbg_sd(rmbg, tc["rmbg"],
+                                 bn_stats=np.random.default_rng(0))),
+               os.path.join(outdir, "rmbg14.pth"))
+
+    # invisible-stitch ZoeDepth -> pt with 'model' wrapper + module. prefix
+    zoe = jax.jit(lambda k: init_zoedepth(k, tc["zoe"]))(
+        jax.random.PRNGKey(17))
+    torch.save({"model": _t(E.emit_zoedepth_sd(zoe))},
+               os.path.join(outdir, "invisible-stitch.pt"))
 
 
 def _numel(tree) -> int:
@@ -104,6 +263,21 @@ class Report:
     def text(self):
         lines = [f"{n:<28} {s:<6} {d}" for n, s, d in self.rows]
         return "\n".join(lines) + "\n"
+
+
+def _gate_detail(args, delta: dict) -> str:
+    """Acceptance-gate annotation for a quality row; raises (-> FAIL row)
+    when --gate_max_abs is set and exceeded."""
+    gate = getattr(args, "gate_max_abs", None)
+    if gate is None:
+        return ""
+    from ..pipeline.quality import check_gate
+    verdict = check_gate(delta, max_abs=gate, mean_abs=float("inf"))
+    if not verdict["pass"]:
+        raise AssertionError(
+            f"quality gate FAIL: {verdict['failed']} exceed "
+            f"max_abs {gate}")
+    return f" [gate<= {gate} OK]"
 
 
 def _row(report, name, fn):
@@ -247,7 +421,8 @@ def check_quality(report, args):
             run_exact, lambda im, mk: q(im[0], mk[0, ..., 0]), corpus)
         o = rep["overall"]
         return (f"blended max {o['blended_max_abs']:.2e} "
-                f"mean {o['blended_mean_abs']:.2e}")
+                f"mean {o['blended_mean_abs']:.2e}"
+                + _gate_detail(args, o))
 
     _row(report, "int8_quality_delta", _int8)
 
@@ -255,14 +430,17 @@ def check_quality(report, args):
         from ..pipeline.amodal_pipeline import amodal_depth_graph
         import jax.numpy as jnp
         n_tokens = (args.size // 14) ** 2 + 1
+        # tome_merge requires 0 < r < N//2 strictly; default to the
+        # largest legal merge ("half the tokens") at any --size
+        default_r = n_tokens // 2 - 1
         first_tap = {"vits": 2, "vitb": 2, "vitl": 4, "vitg": 9,
                      "vitt": 0}
         bt = tuple(int(v) for v in args.tome_base.split(",")) \
             if args.tome_base else (first_tap[exact.raw_cfg.encoder],
-                                    n_tokens // 2)
+                                    default_r)
         at = tuple(int(v) for v in args.tome_amodal.split(",")) \
             if args.tome_amodal else (first_tap[exact.amodal_cfg.encoder],
-                                      n_tokens // 2)
+                                      default_r)
 
         def run_tome(im, mk):
             base, blended = amodal_depth_graph(
@@ -283,7 +461,8 @@ def check_quality(report, args):
         rep = corpus_quality_report(run_plain, run_tome, corpus)
         o = rep["overall"]
         return (f"base={bt} amodal={at}: blended max "
-                f"{o['blended_max_abs']:.2e} mean {o['blended_mean_abs']:.2e}")
+                f"{o['blended_max_abs']:.2e} mean {o['blended_mean_abs']:.2e}"
+                + _gate_detail(args, o))
 
     _row(report, "tome_quality_delta", _tome)
 
@@ -371,7 +550,10 @@ def check_depthfm_pipeline(report, args):
 
     def _delta(optimized):
         d = np.abs(optimized(image, mask, obs) - exact)
-        return f"depth max {d.max():.2e} mean {d.mean():.2e}"
+        stats = {"depth_max_abs": float(d.max()),
+                 "depth_mean_abs": float(d.mean())}
+        return (f"depth max {d.max():.2e} mean {d.mean():.2e}"
+                + _gate_detail(args, stats))
 
     def _int8():
         q = DepthFMPipeline(holder["params"], pipe.cfg,
@@ -396,7 +578,7 @@ def check_depthfm_pipeline(report, args):
     _row(report, "depthfm_deepcache_quality_delta", _deepcache)
 
 
-def check_sam(report, path):
+def check_sam(report, path, cfg=None):
     def _convert():
         import torch
 
@@ -404,29 +586,43 @@ def check_sam(report, path):
         from ..models.sam import SAMConfig
         sd = {k: v.numpy() for k, v in
               torch.load(path, map_location="cpu").items()}
-        params = convert_sam(sd, SAMConfig())
+        params = convert_sam(sd, cfg or SAMConfig())
         assert _finite(params), "non-finite converted params"
         return f"{_numel(params) / 1e6:.1f}M"
 
     _row(report, "sam_convert", _convert)
 
 
-def check_pix2gestalt(report, path):
+def check_pix2gestalt(report, path, cfg=None):
     def _convert():
         import torch
 
-        from ..convert.heuristics_convert import convert_pix2gestalt_unet
-        from ..heuristics.mask_heuristics import Pix2GestaltConfig
+        from ..convert.heuristics_convert import (convert_pix2gestalt_unet,
+                                                  p2g_cfg_from_ckpt)
         ldm = torch.load(path, map_location="cpu", weights_only=False)
         sd = {k: v.numpy() for k, v in ldm["state_dict"].items()}
-        params = convert_pix2gestalt_unet(sd, Pix2GestaltConfig().unet)
+        # conditioning layout (ROADMAP Approximate #2) is DETECTED from
+        # the checkpoint's conv-in: 12 -> 'image+mask' (noisy 4 + image
+        # latent 4 + visible-mask latent 4), 8 -> zero123-style 'image';
+        # anything else fails the row. Channel-count overrides (tiny
+        # rehearsal configs) come from `cfg`, the layout from the file.
+        det, cc = p2g_cfg_from_ckpt(sd)
+        if cfg is not None:
+            import dataclasses
+            det = dataclasses.replace(cfg, cond_mode=det.cond_mode)
+        params = convert_pix2gestalt_unet(sd, det.unet)
         assert _finite(params), "non-finite converted params"
-        return f"p2g UNet {_numel(params) / 1e6:.1f}M"
+        cin = params["input_blocks"]["0"]["0"]["w"].shape[2]
+        assert cin == det.unet.in_channels, \
+            f"conv_in channels {cin} != config {det.unet.in_channels}"
+        return (f"p2g UNet {_numel(params) / 1e6:.1f}M, "
+                f"cond_mode={det.cond_mode} (conv_in {cin})"
+                + (", cc_projection" if cc is not None else ""))
 
     _row(report, "pix2gestalt_convert", _convert)
 
 
-def check_rmbg(report, path):
+def check_rmbg(report, path, cfg=None):
     def _convert():
         import torch
 
@@ -434,14 +630,14 @@ def check_rmbg(report, path):
         from ..models.rmbg import RMBGConfig
         sd = {k: v.numpy() for k, v in
               torch.load(path, map_location="cpu").items()}
-        params = convert_rmbg(sd, RMBGConfig())
+        params = convert_rmbg(sd, cfg or RMBGConfig())
         assert _finite(params), "non-finite folded params"
         return f"{_numel(params) / 1e6:.1f}M (BN folded)"
 
     _row(report, "rmbg_convert", _convert)
 
 
-def check_invisible_stitch(report, path):
+def check_invisible_stitch(report, path, cfg=None):
     def _convert():
         import torch
 
@@ -451,7 +647,7 @@ def check_invisible_stitch(report, path):
         if "model" in raw and isinstance(raw["model"], dict):
             raw = raw["model"]
         sd = {k: v.numpy() for k, v in raw.items()}
-        params = convert_zoedepth(sd, ZoeDepthConfig())
+        params = convert_zoedepth(sd, cfg or ZoeDepthConfig())
         assert _finite(params), "non-finite converted params"
         return f"{_numel(params) / 1e6:.1f}M"
 
@@ -460,6 +656,34 @@ def check_invisible_stitch(report, path):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    tmpdir = None
+    if args.rehearse is not None:
+        if args.rehearse:
+            rdir = args.rehearse
+        else:
+            import tempfile
+            tmpdir = tempfile.TemporaryDirectory(prefix="rehearse_ckpts_")
+            rdir = tmpdir.name
+        print(f"synthesizing rehearsal checkpoints into {rdir} ...")
+        synthesize_rehearsal(rdir)
+        args.all = rdir
+        args.tiny = True
+        args.quality = True
+        args.depthfm_size = 32
+
+    if args.all:
+        for attr, names in CANONICAL:
+            if getattr(args, attr):
+                continue  # explicit flag wins
+            for name in names:
+                cand = os.path.join(args.all, name)
+                if os.path.exists(cand):
+                    setattr(args, attr, cand)
+                    break
+
+    tc = tiny_configs() if args.tiny else {}
+
     report = Report()
     print(f"{'check':<28} {'status':<6} detail")
     print("-" * 70)
@@ -495,16 +719,19 @@ def main(argv=None) -> int:
                        else "--skip_forward")
     else:
         report.add("depthfm_convert", "SKIP", "--depthfm not given")
-    for attr, fn in (("sam", check_sam),
-                     ("pix2gestalt", check_pix2gestalt),
-                     ("rmbg", check_rmbg),
-                     ("invisible_stitch", check_invisible_stitch)):
+    for attr, fn, cfg_key in (("sam", check_sam, "sam"),
+                              ("pix2gestalt", check_pix2gestalt, "p2g"),
+                              ("rmbg", check_rmbg, "rmbg"),
+                              ("invisible_stitch", check_invisible_stitch,
+                               "zoe")):
         path = getattr(args, attr)
         if path:
-            fn(report, path)
+            fn(report, path, cfg=tc.get(cfg_key))
         else:
             report.add(f"{attr}_convert", "SKIP", f"--{attr} not given")
 
+    if tmpdir is not None:
+        tmpdir.cleanup()
     if args.output:
         with open(args.output, "w") as f:
             f.write(report.text())

@@ -1,79 +1,56 @@
-"""RMBG converter round-trip incl. BatchNorm folding correctness."""
+"""RMBG converter round-trip incl. BatchNorm folding correctness, via the
+package emitter (emit_rmbg_sd is convert_rmbg's inverse)."""
 
 import numpy as np
 
 import jax
 
+from amodal_depth_anything_tpu.convert.emit_torch import emit_rmbg_sd
 from amodal_depth_anything_tpu.convert.rmbg_convert import convert_rmbg
 from amodal_depth_anything_tpu.models.rmbg import RMBGConfig, init_rmbg
 
 
-def test_rmbg_converter_roundtrip_and_bn_fold():
-    cfg = RMBGConfig(width=8, stage_mid=(4, 4, 4, 8, 8, 8),
-                     stage_out=(8, 8, 16, 16, 16, 16),
-                     dec_mid=(4, 4, 4, 8, 8))
+def _tree_paths(tree):
+    return {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _cfg():
+    return RMBGConfig(width=8, stage_mid=(4, 4, 4, 8, 8, 8),
+                      stage_out=(8, 8, 16, 16, 16, 16),
+                      dec_mid=(4, 4, 4, 8, 8))
+
+
+def test_rmbg_roundtrip_identity_stats():
+    """mean=0/var=1-eps emission folds back bit-close to the source
+    bn_scale/bn_bias (the emitter's default, used by --rehearse)."""
+    cfg = _cfg()
     params = jax.tree.map(np.asarray,
                           jax.jit(lambda k: init_rmbg(k, cfg))(
                               jax.random.PRNGKey(0)))
+    converted = convert_rmbg(emit_rmbg_sd(params, cfg), cfg)
+    a, b = _tree_paths(params), _tree_paths(converted)
+    assert set(a) == set(b), set(a) ^ set(b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
 
-    rng = np.random.default_rng(0)
-    sd: dict = {}
 
-    def conv(name, p):
-        sd[f"{name}.weight"] = np.asarray(p["w"]).transpose(3, 2, 0, 1)
-        sd[f"{name}.bias"] = np.asarray(p["b"])
-
-    def rebn(name, p):
-        conv(f"{name}.conv_s1", p)
-        c = p["bn_scale"].shape[0]
-        gamma = rng.random(c).astype(np.float32) + 0.5
-        beta = rng.standard_normal(c).astype(np.float32)
-        mean = rng.standard_normal(c).astype(np.float32)
-        var = rng.random(c).astype(np.float32) + 0.5
-        sd[f"{name}.bn_s1.weight"] = gamma
-        sd[f"{name}.bn_s1.bias"] = beta
-        sd[f"{name}.bn_s1.running_mean"] = mean
-        sd[f"{name}.bn_s1.running_var"] = var
-        return gamma, beta, mean, var
-
-    def emit_rsu(prefix, p, height):
-        stats = {}
-        stats["in"] = rebn(f"{prefix}.rebnconvin", p["in"])
-        for i in range(1, height + 1):
-            stats[f"enc{i}"] = rebn(f"{prefix}.rebnconv{i}", p[f"enc{i}"])
-        for i in range(height - 1, 0, -1):
-            stats[f"dec{i}"] = rebn(f"{prefix}.rebnconv{i}d", p[f"dec{i}"])
-        return stats
-
-    conv("conv_in", params["conv_in"])
-    all_stats = {}
-    for s in range(1, 7):
-        all_stats[f"stage{s}"] = emit_rsu(f"stage{s}", params[f"stage{s}"],
-                                          cfg.heights[s - 1])
-    for s in range(5, 0, -1):
-        all_stats[f"stage{s}d"] = emit_rsu(f"stage{s}d", params[f"stage{s}d"],
-                                           cfg.heights[s - 1])
-    for i in range(1, 7):
-        conv(f"side{i}", params[f"side{i}"])
-
+def test_rmbg_roundtrip_random_bn_stats():
+    """Random (gamma, beta, mean, var) consistent with the folded params:
+    the converter's eval-mode BN fold must recover them — the actual
+    briaai/RMBG-1.4 checkpoint shape of the problem."""
+    cfg = _cfg()
+    params = jax.tree.map(np.asarray,
+                          jax.jit(lambda k: init_rmbg(k, cfg))(
+                              jax.random.PRNGKey(0)))
+    sd = emit_rmbg_sd(params, cfg, bn_stats=np.random.default_rng(1))
+    # sanity: live stats really are emitted (not the identity shortcut)
+    assert any("running_mean" in k and np.abs(v).max() > 0
+               for k, v in sd.items())
     converted = convert_rmbg(sd, cfg)
-
-    # conv weights round-trip exactly
-    np.testing.assert_array_equal(converted["conv_in"]["w"],
-                                  params["conv_in"]["w"])
-    np.testing.assert_array_equal(converted["side1"]["w"],
-                                  params["side1"]["w"])
-    # BN folding: scale/bias reproduce eval-mode BN
-    g, b, m, v = all_stats["stage1"]["in"]
-    expect_scale = g / np.sqrt(v + 1e-5)
-    expect_bias = b - m * expect_scale
-    got = converted["stage1"]["in"]
-    np.testing.assert_allclose(got["bn_scale"], expect_scale, rtol=1e-6)
-    np.testing.assert_allclose(got["bn_bias"], expect_bias, rtol=1e-5,
-                               atol=1e-6)
-    # full structural match
-    a = {jax.tree_util.keystr(p_): v.shape for p_, v in
-         jax.tree_util.tree_flatten_with_path(params)[0]}
-    c = {jax.tree_util.keystr(p_): np.asarray(v).shape for p_, v in
-         jax.tree_util.tree_flatten_with_path(converted)[0]}
-    assert a == c
+    a, b = _tree_paths(params), _tree_paths(converted)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)

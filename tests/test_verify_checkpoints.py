@@ -123,3 +123,52 @@ def test_kit_depthfm_pipeline_rows(tmp_path):
                 "depthfm_deepcache_quality_delta"):
         line = [l for l in report.splitlines() if l.startswith(row)][0]
         assert "PASS" in line, line
+
+
+def test_kit_rehearse_one_command(tmp_path):
+    """--rehearse: synthesize every checkpoint format the reference loads
+    (pth / safetensors / LDM ckpt hparams) via the package emitters and
+    run the whole gate on them — the checkpoint-day dry run (fast
+    variant: chain skipped, small size; the full command is documented
+    in the module docstring and README)."""
+    from amodal_depth_anything_tpu.scripts import verify_checkpoints as vk
+
+    rdir = tmp_path / "ckpts"
+    rc = vk.main(["--rehearse", str(rdir), "--skip_chain", "--size", "126",
+                  "--gate_max_abs", "1e9",  # plumbing only: random weights
+                  "--output", str(tmp_path / "report.txt")])
+    report = (tmp_path / "report.txt").read_text()
+    assert rc == 0, report
+    for row in ("dav2_base_convert", "dav2_base_forward",
+                "dav2_amodal_convert", "dav2_amodal_forward",
+                "int8_quality_delta", "tome_quality_delta",
+                "depthfm_convert", "depthfm_unet_forward",
+                "depthfm_pipeline_forward", "depthfm_int8_quality_delta",
+                "sam_convert", "pix2gestalt_convert", "rmbg_convert",
+                "invisible_stitch_convert"):
+        line = [l for l in report.splitlines() if l.startswith(row)][0]
+        assert "PASS" in line, line
+    assert "FAIL" not in report
+    # the synthesized artifacts really are in the reference's formats
+    for name in ("amodal_depth_anything_base.pth", "model.safetensors",
+                 "depthfm-v1.ckpt", "vae.pth", "sam_vit_h.pth",
+                 "epoch=000005.ckpt", "rmbg14.pth", "invisible-stitch.pt"):
+        assert (rdir / name).exists(), name
+
+
+def test_kit_gate_enforcement(tmp_path):
+    """--gate_max_abs turns a too-large optimized-vs-exact delta into a
+    FAIL row (the checkpoint-day acceptance gate, pipeline/quality.py)."""
+    from amodal_depth_anything_tpu.scripts import verify_checkpoints as vk
+
+    rdir = tmp_path / "ckpts"
+    rc = vk.main(["--rehearse", str(rdir), "--skip_chain", "--size", "126",
+                  "--skip_forward",  # dav2 quality rows only
+                  "--gate_max_abs", "1e-12",
+                  "--output", str(tmp_path / "report.txt")])
+    report = (tmp_path / "report.txt").read_text()
+    # int8 on random weights cannot be bit-exact: the gate must trip
+    line = [l for l in report.splitlines()
+            if l.startswith("int8_quality_delta")][0]
+    assert "FAIL" in line and "quality gate" in line, line
+    assert rc == 1
