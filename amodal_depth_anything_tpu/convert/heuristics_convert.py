@@ -14,18 +14,51 @@ import numpy as np
 from ..models.clip_vit import CLIPVisionConfig
 from .depthfm_convert import convert_ldm_unet
 
-__all__ = ["convert_pix2gestalt_unet", "convert_clip_vision"]
+__all__ = ["convert_pix2gestalt_unet", "convert_clip_vision",
+           "p2g_cfg_from_ckpt"]
+
+
+def _strip_dm(ckpt_state_dict: dict) -> dict:
+    prefix = "model.diffusion_model."
+    sd = {k[len(prefix):]: v for k, v in ckpt_state_dict.items()
+          if k.startswith(prefix)}
+    return sd or ckpt_state_dict  # already stripped
+
+
+def p2g_cfg_from_ckpt(ckpt_state_dict: dict):
+    """Auto-detect the pix2gestalt conditioning layout and UNet hparams
+    from the checkpoint itself (the layout is unverifiable offline —
+    see Pix2GestaltConfig). Reads conv-in channels (8 -> 'image',
+    12 -> 'image+mask'), model_channels, context_dim, and whether the
+    zero123-style `cc_projection` head is present.
+
+    Returns (Pix2GestaltConfig, cc_projection pytree | None)."""
+    from ..heuristics.mask_heuristics import Pix2GestaltConfig
+
+    sd = _strip_dm(ckpt_state_dict)
+    conv_in = sd["input_blocks.0.0.weight"]  # [C_out, C_in, 3, 3]
+    in_ch = int(conv_in.shape[1])
+    if in_ch not in (8, 12):
+        raise ValueError(f"unexpected pix2gestalt conv-in channels "
+                         f"{in_ch} (expected 8 or 12)")
+    to_k = sd["input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight"]
+    cfg = Pix2GestaltConfig(
+        cond_mode="image+mask" if in_ch == 12 else "image",
+        model_channels=int(conv_in.shape[0]),
+        context_dim=int(to_k.shape[1]))
+    cc = None
+    if "cc_projection.weight" in ckpt_state_dict:
+        cc = {"w": np.ascontiguousarray(
+            ckpt_state_dict["cc_projection.weight"].T)}
+        if "cc_projection.bias" in ckpt_state_dict:
+            cc["b"] = ckpt_state_dict["cc_projection.bias"]
+    return cfg, cc
 
 
 def convert_pix2gestalt_unet(ckpt_state_dict: dict, unet_cfg) -> dict:
     """Full LDM checkpoint state dict -> our UNet pytree (strips the
     `model.diffusion_model.` prefix, then the standard LDM mapping)."""
-    prefix = "model.diffusion_model."
-    sd = {k[len(prefix):]: v for k, v in ckpt_state_dict.items()
-          if k.startswith(prefix)}
-    if not sd:
-        sd = ckpt_state_dict  # already stripped
-    return convert_ldm_unet(sd, unet_cfg)
+    return convert_ldm_unet(_strip_dm(ckpt_state_dict), unet_cfg)
 
 
 def _lin(sd, name, *, bias=True):

@@ -30,9 +30,26 @@ SAM_PIXEL_STD = (58.395, 57.12, 57.375)
 
 @dataclasses.dataclass(frozen=True)
 class Pix2GestaltConfig:
-    """pix2gestalt SD checkpoint hparams: 8-ch conv-in (noisy latent 4 +
-    conditioning latent 4 of image & visible mask), CLIP image embedding
-    as 1-token cross-attention context (dim 768), SD-1.5 UNet body."""
+    """pix2gestalt SD checkpoint hparams (SD-1.5 UNet body, CLIP image
+    embedding as 1-token cross-attention context, dim 768).
+
+    `cond_mode` is the channel-concat conditioning layout — the exact
+    layout is only provable against the real `epoch=000005.ckpt`
+    (network-blocked), so it is AUTO-DETECTED from the checkpoint's
+    conv-in shape at convert time (`p2g_cfg_from_ckpt`); both candidates
+    are implemented:
+
+    * `"image+mask"` (default; conv-in 12 = noisy 4 + image latent 4 +
+      visible-mask-render latent 4): the reference demo passes the
+      binary visible mask as a separate 3-channel image to
+      `run_pix2gestalt(model, dev, input_image, rgb_visible_mask, ...)`
+      (reference `app.py:113-122`), and the training config is named
+      `sd-finetune-pix2gestalt-c_concat-256.yaml` (`app.py:55`) — two
+      VAE-encoded conditioning images concatenated.
+    * `"image"` (conv-in 8 = noisy 4 + conditioning latent 4):
+      zero123-style single-image conditioning, with the visible object
+      entering via the CLIP context only.
+    """
     image_size: int = 256
     context_dim: int = 768
     model_channels: int = 320
@@ -40,13 +57,16 @@ class Pix2GestaltConfig:
     num_heads: int = 8
     ddim_steps: int = 100
     guidance_scale: float = 1.5
+    cond_mode: str = "image+mask"
     # DeepCache (interval, shallow groups) over the DDIM steps — opt-in,
     # parity-breaking; None = every step runs the full UNet
     ddim_deep_cache: tuple | None = None
 
     @property
     def unet(self) -> UNetConfig:
-        return UNetConfig(in_channels=8, context_dim=self.context_dim,
+        cond_ch = 8 if self.cond_mode == "image+mask" else 4
+        return UNetConfig(in_channels=4 + cond_ch,
+                          context_dim=self.context_dim,
                           model_channels=self.model_channels,
                           channel_mult=self.channel_mult,
                           num_heads=self.num_heads,
@@ -130,7 +150,8 @@ class MaskHeuristics:
         import torch
 
         from ..convert.heuristics_convert import (convert_clip_vision,
-                                                  convert_pix2gestalt_unet)
+                                                  convert_pix2gestalt_unet,
+                                                  p2g_cfg_from_ckpt)
         from ..convert.depthfm_convert import convert_sd_vae
         from ..convert.rmbg_convert import convert_rmbg
         from ..convert.sam_convert import convert_sam
@@ -140,10 +161,13 @@ class MaskHeuristics:
             kw["matting_fn"] = make_rmbg_matting_fn(
                 convert_rmbg(load_state_dict(rmbg_ckpt)))
 
-        sam_cfg, p2g_cfg = SAMConfig(), Pix2GestaltConfig()
+        sam_cfg = SAMConfig()
         sam_params = convert_sam(load_state_dict(sam_ckpt), sam_cfg)
         ldm = torch.load(p2g_ckpt, map_location="cpu", weights_only=False)
         ldm_sd = {k: v.numpy() for k, v in ldm["state_dict"].items()}
+        # conditioning layout + hparams come from the checkpoint itself
+        # (conv-in 8 vs 12, cc_projection presence — see Pix2GestaltConfig)
+        p2g_cfg, cc = p2g_cfg_from_ckpt(ldm_sd)
         p2g_params = {
             "unet": convert_pix2gestalt_unet(ldm_sd, p2g_cfg.unet),
             "vae": convert_sd_vae(load_state_dict(vae_ckpt)),
@@ -151,6 +175,8 @@ class MaskHeuristics:
             "uncond_ctx": jnp.zeros((1, 1, p2g_cfg.context_dim),
                                     jnp.float32),
         }
+        if cc is not None:
+            p2g_params["cc_projection"] = jax.tree.map(jnp.asarray, cc)
         return cls(sam_params, sam_cfg, p2g_params, p2g_cfg, **kw)
 
     @classmethod
@@ -237,15 +263,27 @@ class MaskHeuristics:
 
         @functools.partial(jax.jit, static_argnames=("num_steps",))
         def run(params, rng, image01, visible_mask01, num_steps):
-            # conditioning latent: VAE(image * visible_mask + image) style —
-            # pix2gestalt conditions on the full image and the visible-mask
-            # render; we encode the masked visible object composited on the
-            # image (channel concat), CLIP-embed the masked object.
-            masked = image01 * visible_mask01
-            cond_latent = vae_encode_mode(params["vae"],
-                                          image01 * 2.0 - 1.0, vae_cfg)
-            clip_in = resize2d(masked, size=(clip_cfg.image_size,
-                                             clip_cfg.image_size),
+            # channel-concat conditioning (layout per cfg.cond_mode —
+            # checkpoint-detected, see Pix2GestaltConfig):
+            #   image+mask: VAE(image) ++ VAE(rgb visible-mask render)
+            #               (reference app.py:113-122 passes the binary
+            #                mask as a separate 3-channel image)
+            #   image:      VAE(image) only (zero123-style)
+            img_latent = vae_encode_mode(params["vae"],
+                                         image01 * 2.0 - 1.0, vae_cfg)
+            if p2g_cfg.cond_mode == "image+mask":
+                mask_rgb = jnp.broadcast_to(visible_mask01, image01.shape)
+                mask_latent = vae_encode_mode(params["vae"],
+                                              mask_rgb * 2.0 - 1.0, vae_cfg)
+                cond_latent = jnp.concatenate([img_latent, mask_latent],
+                                              axis=-1)
+                clip_in_img = image01  # CLIP(occluded image); the visible
+                # object enters via the mask latent
+            else:
+                cond_latent = img_latent
+                clip_in_img = image01 * visible_mask01  # masked object
+            clip_in = resize2d(clip_in_img, size=(clip_cfg.image_size,
+                                                  clip_cfg.image_size),
                                method="bilinear")
             clip_mean = jnp.asarray((0.48145466, 0.4578275, 0.40821073),
                                     image01.dtype)
@@ -254,14 +292,29 @@ class MaskHeuristics:
             ctx = clip_image_embed(params["clip"], clip_cfg,
                                    (clip_in - clip_mean) / clip_std)
             ctx = ctx[:, None, :]  # single conditioning token
+            if "cc_projection" in params:
+                # zero123-lineage checkpoints project [CLIP 768 ++ pose 4]
+                # -> 768; pix2gestalt has no pose, so the slots are zero
+                cc = params["cc_projection"]
+                pad = jnp.zeros(ctx.shape[:-1] + (cc["w"].shape[0]
+                                                  - ctx.shape[-1],),
+                                ctx.dtype)
+                ctx = jnp.concatenate([ctx, pad], axis=-1) \
+                    @ cc["w"].astype(ctx.dtype)
+                if "b" in cc:
+                    ctx = ctx + cc["b"].astype(ctx.dtype)
             uncond = jnp.broadcast_to(
                 params["uncond_ctx"].astype(ctx.dtype),
                 ctx.shape)
+            # CFG uncond branch zeros BOTH conditionings (crossattn ctx
+            # and the concat latent), matching zero123-style samplers
+            zero_latent = jnp.zeros_like(cond_latent)
 
-            def eps_fn(ctx_tokens):
+            def eps_fn(ctx_tokens, concat_latent):
                 def f(x, t, **dc):
                     return apply_unet(params["unet"], p2g_cfg.unet, x,
-                                      t.astype(x.dtype), context=cond_latent,
+                                      t.astype(x.dtype),
+                                      context=concat_latent,
                                       context_ca=ctx_tokens, **dc)
                 return f
 
@@ -269,7 +322,7 @@ class MaskHeuristics:
             # ONE UNet call at batch 2B (exact — no cross-sample ops in the
             # UNet; the 100-step loop is launch-bound at batch 1)
             ctx2 = jnp.concatenate([ctx, uncond], axis=0)
-            cond2 = jnp.concatenate([cond_latent, cond_latent], axis=0)
+            cond2 = jnp.concatenate([cond_latent, zero_latent], axis=0)
 
             def joint(x2, t2, **dc):
                 return apply_unet(params["unet"], p2g_cfg.unet, x2,
@@ -278,11 +331,11 @@ class MaskHeuristics:
 
             latent_hw = cond_latent.shape[1]
             z = ddim_sample(
-                eps_fn(ctx), rng,
+                eps_fn(ctx, cond_latent), rng,
                 (image01.shape[0], latent_hw, latent_hw, 4),
                 num_steps=num_steps,
                 guidance_scale=p2g_cfg.guidance_scale,
-                uncond_fn=eps_fn(uncond), joint_fn=joint,
+                uncond_fn=eps_fn(uncond, zero_latent), joint_fn=joint,
                 deep_cache=p2g_cfg.ddim_deep_cache, dtype=image01.dtype)
             decoded = vae_decode(params["vae"], z, vae_cfg)
             return jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0)
