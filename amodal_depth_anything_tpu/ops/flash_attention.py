@@ -420,10 +420,14 @@ def mha(q, k, v, *, sm_scale: float | None = None, block_q: int = 256,
     them before the loss). Skips all per-layer pad/slice copies.
 
     `q_split`: intra-kernel query-chunk interleave factor (row-exact; see
-    `_attn_fwd_kernel`). Default from AMODAL_ATTN_QSPLIT (1 = off);
-    silently reset to 1 when block_q is not a multiple of 128*q_split."""
+    `_attn_fwd_kernel`). Default from AMODAL_ATTN_QSPLIT; the default is
+    2 — promoted after a consistent back-to-back A/B win at both
+    production shapes (vitl [8,16,5330,64] 15.32->14.94 ms, vitg
+    [8,24,5330,64] 22.5->22.2 / 22.6->22.0; full exact bench 3.157
+    img/s, runbook v6) — set 1 to disable. Silently reset to 1 when
+    block_q is not a multiple of 128*q_split."""
     if q_split is None:
-        q_split = int(os.environ.get("AMODAL_ATTN_QSPLIT", "1"))
+        q_split = int(os.environ.get("AMODAL_ATTN_QSPLIT", "2"))
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     # dtype-uniform operands: precision selection keys on q.dtype and the

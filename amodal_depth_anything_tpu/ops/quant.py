@@ -531,6 +531,13 @@ def quantize_diffusion_int8(params: dict, *, min_conv_fan: int = 512,
             pstr = "/".join(path)
             if any(pstr.endswith(sfx) for sfx in skip_suffixes):
                 return tree
+            if weight_only and pstr.endswith("upsampler"):
+                # fused_upsample2x_conv folds the kernel (stack/concat/
+                # transpose) before the conv, so the int8->f32 dequant
+                # materializes a full-precision folded kernel anyway: no
+                # HBM read saving, just dequant overhead (measured
+                # neutral: DepthFM wo b8 14.375 vs 14.34 baseline).
+                return tree
             if getattr(w, "ndim", 0) == 4 and (
                     w.shape[0] * w.shape[1] * w.shape[2] >= min_conv_fan):
                 return quantize_conv_w8(tree) if weight_only else \

@@ -18,7 +18,40 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["blended_depth_delta", "corpus_quality_report"]
+__all__ = ["blended_depth_delta", "corpus_quality_report", "check_gate",
+           "QUALITY_GATE"]
+
+# Documented acceptance thresholds for the parity-breaking serving ladder
+# (int8 / ToMe / DeepCache operating points): an optimized mode is only
+# RECOMMENDED when its delta vs the exact pipeline stays inside this gate
+# on the evaluation corpus. Depth maps live in [0,1], so 0.05 max-abs is
+# a 5%-of-range worst-case excursion and 0.01 mean-abs keeps the bulk
+# error within colorization quantization. Tune operating points AGAINST
+# this gate (bench.py emits the verdict next to every optimized number),
+# not after it.
+QUALITY_GATE = {"max_abs": 0.05, "mean_abs": 0.01}
+
+
+def check_gate(delta: dict, *, max_abs: float | None = None,
+               mean_abs: float | None = None) -> dict:
+    """Verdict for a delta-stats dict against the acceptance gate.
+
+    Applies uniformly to every quality proxy in the tree (keys ending in
+    `_max_abs` / `_mean_abs`: blended/base depth, DepthFM depth,
+    pix2gestalt completion). Returns {limits, pass, failed}."""
+    limits = {"max_abs": QUALITY_GATE["max_abs"] if max_abs is None
+              else float(max_abs),
+              "mean_abs": QUALITY_GATE["mean_abs"] if mean_abs is None
+              else float(mean_abs)}
+    failed = []
+    for k, v in delta.items():
+        if not isinstance(v, (int, float)):
+            continue
+        if k.endswith("_max_abs") and v > limits["max_abs"]:
+            failed.append(k)
+        elif k.endswith("_mean_abs") and v > limits["mean_abs"]:
+            failed.append(k)
+    return {"limits": limits, "pass": not failed, "failed": failed}
 
 
 def blended_depth_delta(base_a, blended_a, base_b, blended_b) -> dict:

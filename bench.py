@@ -58,6 +58,21 @@ if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
         raise SystemExit("bench: TPU probe failed: "
                          + e.stderr.decode(errors="replace")[-500:])
 
+# AMODAL_TPU_CACHE=1: persistent compile cache for TPU runs. Unlike the
+# XLA:CPU cache (AOT host-feature-fragile across driver hosts — see
+# __graft_entry__), TPU executables key on the TPU target, so same-box
+# re-runs hit. This is the calibrated-int8 wall-time lever: the calib
+# chain's ~2 extra large jit programs compile once per box instead of
+# once per process (~65 min cold -> minutes warm, runbook v7). Opt-in so
+# the driver's bench of record stays a known-good path.
+if (os.environ.get("AMODAL_TPU_CACHE", "") == "1"
+        and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchmarks", ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 A100_PYTORCH_EST_IMG_PER_SEC = 4.3
 # DepthFM anchor: SD-1.5-size UNet x4 steps + VAE encode/decode at 512px
 # on A100 fp16/diffusers runs ~3 img/s (UNet ~40-65 ms/step + VAE); the
@@ -269,7 +284,9 @@ def bench_depthfm():
                              3),
     }
     if quality is not None:
+        from amodal_depth_anything_tpu.pipeline.quality import check_gate
         line["quality_delta"] = quality
+        line["quality_gate"] = check_gate(quality)
     print(json.dumps(line))
 
 
@@ -363,6 +380,10 @@ def bench_heuristics():
         "unit": "completions/sec/chip",
         "vs_baseline": round(p50, 3),  # p50 seconds per completion
         **({"quality_delta": quality} if quality else {}),
+        **({"quality_gate": __import__(
+            "amodal_depth_anything_tpu.pipeline.quality",
+            fromlist=["check_gate"]).check_gate(quality)}
+           if quality else {}),
     }))
 
 
@@ -382,7 +403,13 @@ def bench_train():
     on_tpu = jax.devices()[0].platform == "tpu"
     size = 518 if on_tpu else 56
     batch = int(os.environ.get("AMODAL_BENCH_BATCH", 8 if on_tpu else 2))
-    enc = "vitl" if on_tpu else "vitt"
+    # AMODAL_BENCH_ENCODER: vitg stress row / OOM-boundary probing
+    enc = os.environ.get("AMODAL_BENCH_ENCODER",
+                         "vitl" if on_tpu else "vitt")
+    # AMODAL_BENCH_ACCUM>1: optax.MultiSteps micro-batching — the
+    # reference's configured regime is eff_bs 32 via accumulation
+    # (reference train.py:104-107); each timed call is one micro-step.
+    accum = int(os.environ.get("AMODAL_BENCH_ACCUM", "1"))
     iters = 5 if on_tpu else 2
 
     model = get_model("AmodalDAv2", encoder=enc)
@@ -392,7 +419,7 @@ def bench_train():
                                "attn" if on_tpu else "0")
     remat = {"0": False, "full": True, "1": True}.get(remat_env, remat_env)
     cfg = TrainerConfig(compute_dtype="bfloat16" if on_tpu else "float32",
-                        remat=remat,
+                        remat=remat, accumulation_steps=accum,
                         validation_period=0, visualization_period=0,
                         save_period=0)
     trainer = DiscriminativeTrainer(cfg, model, train_loader=[])
@@ -551,6 +578,8 @@ def main():
     # int8 ones costs ~2.8 GB HBM and OOMed the b16 max stack)
     p_raw_exact = p_raw if quality_on else None
     p_amodal_exact = p_amodal if quality_on else None
+    calib_wall_s = None
+    _calib_t0 = time.perf_counter()
     if int8_base or int8_amodal:
         # opt-in W8A8 serving path for the frozen trunks (ops/quant.py);
         # NOT the default: it trades the <1e-3 parity gate for speed.
@@ -628,6 +657,13 @@ def main():
                 p_amodal, amodal_cfg,
                 guide_mask=mask[:n_cal] * 2.0 - 1.0,
                 observation=obs[:n_cal] * 2.0 - 1.0)
+        # calibration chain wall time (compiles + calibration forwards):
+        # the VERDICT-r2 #10 number — barrier with a scalar fetch (cheap;
+        # block_until_ready is unreliable through the tunnel)
+        for _t in (p_raw, p_amodal):
+            leaf = jax.tree.leaves(_t)[0]
+            float(jnp.sum(leaf.astype(jnp.float32)))
+        calib_wall_s = round(time.perf_counter() - _calib_t0, 1)
 
     # Opt-in ToMe token merge for the frozen base trunk: "layer,r"
     # (e.g. AMODAL_TOME_BASE="9,2560" merges 2560 of 5330 tokens after
@@ -729,7 +765,11 @@ def main():
         "vs_baseline": round(v5e8_aggregate / A100_PYTORCH_EST_IMG_PER_SEC, 3),
     }
     if quality is not None:
+        from amodal_depth_anything_tpu.pipeline.quality import check_gate
         line["quality_delta"] = {k: round(v, 6) for k, v in quality.items()}
+        line["quality_gate"] = check_gate(quality)
+    if calib_wall_s is not None:
+        line["calib_wall_s"] = calib_wall_s
     print(json.dumps(line))
 
 

@@ -368,6 +368,10 @@ def test_quantize_diffusion_weight_only(rng):
     assert q["vae"]["decoder"]["conv_out"]["w"].dtype != jnp.int8
     aq = q["vae"]["decoder"]["mid_block"]["attentions"]["0"]["to_q"]
     assert aq["w8"].dtype == jnp.int8 and aq["w_scale"].ndim == 1
+    # upsampler sites skipped in weight_only mode: the fused-upsample
+    # kernel fold would materialize the dequantized f32 kernel anyway
+    up = q["vae"]["decoder"]["up_blocks"]["0"]["upsampler"]
+    assert "w8" not in up and up["w"].dtype != jnp.int8
 
     ims = jnp.asarray(rng.random((1, 32, 32, 3)) * 2 - 1, jnp.float32)
     mask = jnp.ones((1, 32, 32, 1), jnp.float32)
