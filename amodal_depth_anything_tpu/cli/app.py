@@ -10,8 +10,12 @@ Two mask modes (reference `app.py:127-229`):
     (`amodal_depth_anything_tpu.heuristics`); raises with a clear message
     until those checkpoints are provided.
 
-Gradio is optional in this image; `build_demo()` gates the import, and
-`predict_amodal_depth` is importable headlessly for programmatic use.
+Gradio is optional in this image; `build_demo()` gates the import and
+`main()` falls back to a dependency-free plain-HTTP demo
+(`build_http_demo`, stdlib http.server + a canvas mask editor) serving
+the same reference `app.py:295-340` flow on the same port, so the demo
+is launchable everywhere. `predict_amodal_depth` stays importable
+headlessly for programmatic use.
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ import argparse
 
 import numpy as np
 
-__all__ = ["AmodalDepthApp", "main"]
+__all__ = ["AmodalDepthApp", "build_demo", "build_http_demo", "main"]
 
 
 class AmodalDepthApp:
@@ -112,21 +116,142 @@ def build_demo(app: AmodalDepthApp):
     return demo
 
 
+_DEMO_HTML = """<!doctype html>
+<html><head><title>Amodal Depth Anything (TPU)</title></head>
+<body style="font-family:sans-serif;max-width:960px;margin:2em auto">
+<h2>Amodal Depth Anything &mdash; TPU-native demo</h2>
+<p>Pick an image, paint the amodal mask on it, hit Predict.</p>
+<input type="file" id="file" accept="image/*">
+<label>mode <select id="mode"><option>amodal_mask</option>
+<option>prompt_points</option></select></label>
+<button onclick="predict()">Predict</button>
+<div><canvas id="cv" style="border:1px solid #888;cursor:crosshair">
+</canvas></div>
+<div id="out"></div>
+<script>
+const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+let img = null, drawing = false;
+const mask = document.createElement('canvas'), mctx = mask.getContext('2d');
+document.getElementById('file').onchange = e => {
+  img = new Image();
+  img.onload = () => { cv.width = mask.width = img.width;
+    cv.height = mask.height = img.height; ctx.drawImage(img, 0, 0); };
+  img.src = URL.createObjectURL(e.target.files[0]);
+};
+cv.onmousedown = () => drawing = true;
+cv.onmouseup = () => drawing = false;
+cv.onmousemove = e => {
+  if (!drawing) return;
+  const r = cv.getBoundingClientRect();
+  const x = e.clientX - r.left, y = e.clientY - r.top;
+  for (const c of [ctx, mctx]) { c.fillStyle = 'rgba(255,0,0,0.8)';
+    c.beginPath(); c.arc(x, y, 8, 0, 7); c.fill(); }
+};
+async function predict() {
+  const body = JSON.stringify({
+    image: cv.toDataURL().split(',')[1],
+    mask: mask.toDataURL().split(',')[1],
+    mask_type: document.getElementById('mode').value});
+  const resp = await fetch('/predict', {method: 'POST', body});
+  const out = await resp.json();
+  document.getElementById('out').innerHTML =
+    '<h3>base</h3><img src="data:image/png;base64,' + out.base +
+    '"><h3>amodal</h3><img src="data:image/png;base64,' + out.amodal + '">';
+}
+</script></body></html>
+"""
+
+
+def build_http_demo(app: AmodalDepthApp, *, host="127.0.0.1", port=7860):
+    """Dependency-free fallback demo: the same predict flow as the Gradio
+    UI behind a stdlib ThreadingHTTPServer. GET / serves a canvas mask
+    editor; POST /predict takes JSON {image, mask: base64 PNG, mask_type}
+    and returns JSON {base, amodal: base64 PNG}. Returns the server
+    (caller runs serve_forever / shutdown)."""
+    import base64
+    import io
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from PIL import Image
+
+    def _png(arr: np.ndarray) -> str:
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                self._send(200, _DEMO_HTML.encode(), "text/html")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n))
+                image = np.asarray(Image.open(io.BytesIO(
+                    base64.b64decode(req["image"]))).convert("RGB"))
+                mask_img = Image.open(io.BytesIO(
+                    base64.b64decode(req["mask"])))
+                mask = np.asarray(mask_img.convert("L")).astype(np.float32)
+                if "A" in mask_img.getbands():  # painted alpha layer
+                    alpha = np.asarray(mask_img)[..., -1]
+                    mask = np.maximum(mask, alpha.astype(np.float32))
+                base, amodal, _ = app.predict_amodal_depth(
+                    image, mask, req.get("mask_type", "amodal_mask"))
+                body = json.dumps({"base": _png(base),
+                                   "amodal": _png(amodal)}).encode()
+                self._send(200, body, "application/json")
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._send(500, json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}).encode(),
+                    "application/json")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def main(argv=None):
-    p = argparse.ArgumentParser(description="Amodal depth Gradio demo")
+    p = argparse.ArgumentParser(description="Amodal depth demo "
+                                            "(Gradio, or plain HTTP "
+                                            "fallback when absent)")
     p.add_argument("--base_ckpt", type=str,
                    default="work_dir/ckp/amodal_depth_anything_base.pth")
     p.add_argument("--amodal_ckpt", type=str,
                    default="work_dir/ckp/amodal_dav2_vitl")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--http", action="store_true",
+                   help="force the plain-HTTP demo even if gradio exists")
     args = p.parse_args(argv)
 
     from ..pipeline import AmodalDepthPipeline
 
     pipe = AmodalDepthPipeline.from_checkpoints(args.base_ckpt,
                                                 args.amodal_ckpt)
-    demo = build_demo(AmodalDepthApp(pipe))
-    demo.launch(server_port=args.port)
+    app = AmodalDepthApp(pipe)
+    if not args.http:
+        try:
+            build_demo(app).launch(server_port=args.port)
+            return
+        except RuntimeError:
+            print("gradio not installed — falling back to plain HTTP")
+    server = build_http_demo(app, port=args.port)
+    print(f"demo on http://127.0.0.1:{args.port}")
+    server.serve_forever()
 
 
 if __name__ == "__main__":

@@ -236,3 +236,41 @@ def test_step_timer_and_profiler_wiring(sam_tree, tmp_path):
     assert trainer._micro_step_count == 2
     assert os.path.isdir(prof_dir) and os.listdir(prof_dir), \
         "profiler trace not written"
+
+
+def test_train_cli_wandb_exercised(sam_tree, tmp_path, monkeypatch):
+    """init_wandb's ENABLED path executed for real (logging_util.py:67-75;
+    reference src/util/logging_util.py:68-73): a wandb module in
+    sys.modules receives init(sync_tensorboard=True, ...) with the run
+    config, driven through the train CLI with a wandb: config section."""
+    import sys
+    import types
+
+    calls = {}
+    fake = types.ModuleType("wandb")
+
+    def _init(**kw):
+        calls.update(kw)
+        run = types.SimpleNamespace(id="fake-run", finish=lambda: None)
+        return run
+
+    fake.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    root, _ = sam_tree
+    from amodal_depth_anything_tpu.cli import train as train_cli
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "smoke_synthetic_vitt.yaml")
+    wandb_cfg = tmp_path / "smoke_wandb.yaml"
+    wandb_cfg.write_text(f"base_config:\n- {os.path.abspath(cfg_path)}\n"
+                         "wandb:\n  project: rehearse\n")
+    train_cli.main([
+        "--config", str(wandb_cfg),
+        "--base_data_dir", root,
+        "--output_dir", str(tmp_path / "out_wandb"),
+        "--max_iter", "1",
+    ])
+    assert calls.get("sync_tensorboard") is True
+    assert calls.get("project") == "rehearse"
+    assert isinstance(calls.get("config"), dict)
