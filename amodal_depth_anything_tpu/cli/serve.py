@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serving_state", type=str, default=None,
                    help="Dir from <pipeline>.save_serving (restores the "
                         "exact optimized state — no recalibration).")
+    p.add_argument("--artifact", type=str, default=None,
+                   help="(amodal) AOT program artifact dir from "
+                        "--export_artifact / pipeline.aot: serve the "
+                        "exported StableHLO program (no tracing); params "
+                        "come from --serving_state.")
+    p.add_argument("--export_artifact", type=str, default=None,
+                   help="(amodal) build the pipeline, jax.export its "
+                        "fused program at batch --max_batch and the "
+                        "serve input shape, write the artifact dir, and "
+                        "exit (pair with --serving_state on replicas).")
     p.add_argument("--random", action="store_true",
                    help="Seeded random tiny-preset weights — serve without "
                         "checkpoints (demo/smoke mode)")
@@ -203,7 +213,35 @@ def main(argv=None) -> None:
     if args.family == "depthfm" and args.size % 8 != 0:
         raise SystemExit(f"--size {args.size} must be divisible by the VAE "
                          f"factor 8 for --family depthfm")
-    if args.random:
+    if args.artifact:
+        # AOT replica mode: deserialized program + params, no model
+        # tracing (pipeline/aot.py). Params ride the serving-state dir.
+        if args.family != "amodal":
+            raise SystemExit("--artifact currently supports the amodal "
+                             "family only")
+        from ..pipeline import ExportedAmodalServing
+        from ..pipeline.serving_ckpt import restore_serving_state
+        served = ExportedAmodalServing.load(args.artifact)
+        if served.hw != (served.size, served.size):
+            raise SystemExit(
+                f"artifact hw {served.hw} != (size, size) — serve-CLI "
+                f"artifacts must be exported at the serve input shape "
+                f"(use --export_artifact)")
+        if args.max_batch not in served.batches:
+            raise SystemExit(f"--max_batch {args.max_batch} not among the "
+                             f"artifact's compiled buckets {served.batches}")
+        if args.random:
+            rnd = AmodalDepthPipeline.init_random(None, size=served.size)
+            served.bind(rnd.params_raw, rnd.params_amodal)
+        elif args.serving_state:
+            trees, _ = restore_serving_state(args.serving_state,
+                                             expect_kind="amodal_dav2")
+            served.bind(trees["raw"], trees["amodal"])
+        else:
+            raise SystemExit("--artifact needs --serving_state (or "
+                             "--random for smoke mode)")
+        pipe = served
+    elif args.random:
         if args.family == "depthfm":
             pipe = DepthFMPipeline.init_random(None, size=args.size,
                                                num_steps=args.num_steps)
@@ -227,6 +265,19 @@ def main(argv=None) -> None:
             dtype=jnp.dtype(args.dtype))
     else:
         raise SystemExit("need --serving_state or --base_ckpt/--amodal_ckpt")
+
+    if args.export_artifact:
+        if args.family != "amodal":
+            raise SystemExit("--export_artifact currently supports the "
+                             "amodal family only")
+        from ..pipeline import save_amodal_artifact
+        meta = save_amodal_artifact(
+            pipe, args.export_artifact, batches=(args.max_batch,),
+            hw=(pipe.size, pipe.size))
+        print(f"artifact written to {args.export_artifact} "
+              f"(platforms={meta['platforms']}, batches={meta['batches']})",
+              flush=True)
+        return
 
     server = build_server(pipe, args.host, args.port,
                           max_batch=args.max_batch,

@@ -165,6 +165,16 @@ class ExportedAmodalServing:
     def batches(self):
         return sorted(self.programs)
 
+    @property
+    def size(self) -> int:
+        """Output square size — lets the handle drop into surfaces that
+        expect an `AmodalDepthPipeline` (e.g. `cli.serve.build_server`)."""
+        return int(self.meta["size"])
+
+    @property
+    def hw(self) -> tuple[int, int]:
+        return tuple(int(x) for x in self.meta["hw"])
+
     def __call__(self, image: np.ndarray, mask: np.ndarray):
         """image [B,H,W,3], mask [B,H,W] or [B,H,W,1]; B must be a
         compiled bucket. Returns (base, blended) np arrays, like

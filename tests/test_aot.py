@@ -116,3 +116,60 @@ def test_tpu_target_export_embeds_pallas(tiny_pipe):
     assert "tpu_custom_call" in txt, "Pallas kernel not embedded"
     rt = jax.export.deserialize(exp.serialize())
     assert rt.platforms == ("tpu",)
+
+
+def test_serve_cli_artifact_flow(tmp_path, rng):
+    """Deployment loop through the CLI: --export_artifact writes the
+    program artifact and exits; a replica loads it (AOT handle, no
+    model tracing), fronts it with build_server, and answers HTTP with
+    outputs identical to the live --random pipeline."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from amodal_depth_anything_tpu.cli import serve as serve_cli
+    from amodal_depth_anything_tpu.pipeline import (AmodalDepthPipeline,
+                                                    ExportedAmodalServing)
+
+    art = tmp_path / "artifact"
+    serve_cli.main(["--random", "--size", "56", "--max_batch", "2",
+                    "--export_artifact", str(art)])
+    assert (art / "meta.json").exists()
+
+    served = ExportedAmodalServing.load(str(art))
+    assert served.size == 56 and served.batches == [2]
+    live = AmodalDepthPipeline.init_random(None, size=56)  # same seed
+    served.bind(live.params_raw, live.params_amodal)
+
+    server = serve_cli.build_server(served, port=0, max_batch=2,
+                                    max_delay_ms=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+
+    def b64_png(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    image = (rng.random((48, 40, 3)) * 255).astype(np.uint8)
+    mask = ((rng.random((48, 40)) > 0.5) * 255).astype(np.uint8)
+    try:
+        body = json.dumps({"image": b64_png(image),
+                           "mask": b64_png(mask)}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/amodal_depth", data=body,
+            method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.loads(r.read())
+        got = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(out["blended_depth"]))), np.float32) / 65535.0
+        img56, msk56 = serve_cli._prep(image, mask, 56)
+        _, ref = live(img56, msk56)
+        np.testing.assert_allclose(got, ref, atol=1.0 / 65535.0)
+    finally:
+        server.shutdown()
+        server.batcher.close()
