@@ -54,12 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Dir from <pipeline>.save_serving (restores the "
                         "exact optimized state — no recalibration).")
     p.add_argument("--artifact", type=str, default=None,
-                   help="(amodal) AOT program artifact dir from "
+                   help="AOT program artifact dir from "
                         "--export_artifact / pipeline.aot: serve the "
                         "exported StableHLO program (no tracing); params "
                         "come from --serving_state.")
     p.add_argument("--export_artifact", type=str, default=None,
-                   help="(amodal) build the pipeline, jax.export its "
+                   help="build the pipeline, jax.export its "
                         "fused program at batch --max_batch and the "
                         "serve input shape, write the artifact dir, and "
                         "exit (pair with --serving_state on replicas).")
@@ -216,12 +216,12 @@ def main(argv=None) -> None:
     if args.artifact:
         # AOT replica mode: deserialized program + params, no model
         # tracing (pipeline/aot.py). Params ride the serving-state dir.
-        if args.family != "amodal":
-            raise SystemExit("--artifact currently supports the amodal "
-                             "family only")
-        from ..pipeline import ExportedAmodalServing
+        from ..pipeline import (ExportedAmodalServing,
+                                ExportedDepthFMServing)
         from ..pipeline.serving_ckpt import restore_serving_state
-        served = ExportedAmodalServing.load(args.artifact)
+        amodal = args.family == "amodal"
+        served = (ExportedAmodalServing if amodal
+                  else ExportedDepthFMServing).load(args.artifact)
         if served.hw != (served.size, served.size):
             raise SystemExit(
                 f"artifact hw {served.hw} != (size, size) — serve-CLI "
@@ -231,12 +231,20 @@ def main(argv=None) -> None:
             raise SystemExit(f"--max_batch {args.max_batch} not among the "
                              f"artifact's compiled buckets {served.batches}")
         if args.random:
-            rnd = AmodalDepthPipeline.init_random(None, size=served.size)
-            served.bind(rnd.params_raw, rnd.params_amodal)
+            if amodal:
+                rnd = AmodalDepthPipeline.init_random(None, size=served.size)
+                served.bind(rnd.params_raw, rnd.params_amodal)
+            else:
+                served.bind(DepthFMPipeline.init_random(
+                    None, size=served.size).params)
         elif args.serving_state:
-            trees, _ = restore_serving_state(args.serving_state,
-                                             expect_kind="amodal_dav2")
-            served.bind(trees["raw"], trees["amodal"])
+            trees, _ = restore_serving_state(
+                args.serving_state,
+                expect_kind="amodal_dav2" if amodal else "depthfm")
+            if amodal:
+                served.bind(trees["raw"], trees["amodal"])
+            else:
+                served.bind(trees["params"])
         else:
             raise SystemExit("--artifact needs --serving_state (or "
                              "--random for smoke mode)")
@@ -267,11 +275,10 @@ def main(argv=None) -> None:
         raise SystemExit("need --serving_state or --base_ckpt/--amodal_ckpt")
 
     if args.export_artifact:
-        if args.family != "amodal":
-            raise SystemExit("--export_artifact currently supports the "
-                             "amodal family only")
-        from ..pipeline import save_amodal_artifact
-        meta = save_amodal_artifact(
+        from ..pipeline import save_amodal_artifact, save_depthfm_artifact
+        save_fn = (save_amodal_artifact if args.family == "amodal"
+                   else save_depthfm_artifact)
+        meta = save_fn(
             pipe, args.export_artifact, batches=(args.max_batch,),
             hw=(pipe.size, pipe.size))
         print(f"artifact written to {args.export_artifact} "

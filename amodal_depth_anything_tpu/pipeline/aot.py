@@ -37,7 +37,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["export_amodal_program", "save_amodal_artifact",
-           "ExportedAmodalServing", "ARTIFACT_VERSION"]
+           "ExportedAmodalServing", "export_depthfm_program",
+           "save_depthfm_artifact", "ExportedDepthFMServing",
+           "ARTIFACT_VERSION"]
 
 ARTIFACT_VERSION = 1
 
@@ -124,14 +126,93 @@ def save_amodal_artifact(pipe, path: str, *, batches=(1, 8),
     return meta
 
 
-class ExportedAmodalServing:
-    """A replica-side handle: deserialized programs + bound params.
+def _depthfm_inputs(cfg) -> list:
+    """Which optional graph inputs this guide_type consumes, in the
+    fixed exported-argument order."""
+    g = cfg.guide_type
+    names = ["image"]
+    if "mask" in g:
+        names.append("mask")
+    if "observation" in g:
+        names.append("observation")
+    if "image" in g:
+        names.append("guide_rgb")
+    return names
 
-    ``load(dir)`` -> handle; ``bind(params_raw, params_amodal)`` attaches
-    the weight pytrees (e.g. from ``serving_ckpt.restore_serving_state``
-    or ``AmodalDepthPipeline.load_serving(...)``'s trees); calling the
-    bound handle dispatches the exact-batch program (no padding here —
-    front with `MicroBatcher` for request coalescing)."""
+
+def export_depthfm_program(pipe, *, batch: int, hw: tuple[int, int],
+                           platforms=None):
+    """`jax.export` the DepthFM amodal-generate program (preprocess ->
+    VAE encode -> Euler ODE -> decode, one program) at one static shape.
+
+    Exported signature: ``(params, image[B,H,W,3], <guide inputs per
+    cfg.guide_type: mask/observation [B,H,W,1], guide_rgb [B,H,W,3]>)
+    -> depth [B,S,S,1]`` — the in-graph PRNG seed, num_steps, ToMe and
+    DeepCache settings are baked in from the live pipeline."""
+    from ..models.depthfm import depthfm_generate
+
+    platforms = _resolve_platforms(platforms)
+    attn_impl = pipe.attn_impl
+    if attn_impl is None:
+        attn_impl = "pallas" if platforms == ("tpu",) else "xla"
+    names = _depthfm_inputs(pipe.cfg)
+    seed = pipe.seed
+
+    def fn(params, *inputs):
+        kw = dict(zip(names, inputs))
+        rgb, m, obs, grgb = pipe._prep(kw["image"], kw.get("mask"),
+                                       kw.get("observation"),
+                                       kw.get("guide_rgb"))
+        return depthfm_generate(
+            params, pipe.cfg, jax.random.PRNGKey(seed), rgb,
+            num_steps=pipe.num_steps, guide_rgb=grgb, guide_mask=m,
+            observation=obs, attn_impl=attn_impl, tome=pipe.tome,
+            deep_cache=pipe.deep_cache)
+
+    h, w = hw
+    specs = [_param_specs(pipe.params)]
+    for n in names:
+        c = 3 if n in ("image", "guide_rgb") else 1
+        specs.append(jax.ShapeDtypeStruct((batch, h, w, c), pipe.dtype))
+    return jax.export.export(jax.jit(fn), platforms=platforms)(*specs)
+
+
+def save_depthfm_artifact(pipe, path: str, *, batches=(1, 8),
+                          hw: tuple[int, int] = (512, 512),
+                          platforms=None) -> dict:
+    """DepthFM counterpart of `save_amodal_artifact`."""
+    platforms = _resolve_platforms(platforms)
+    os.makedirs(path, exist_ok=True)
+    for b in batches:
+        exp = export_depthfm_program(pipe, batch=int(b), hw=hw,
+                                     platforms=platforms)
+        with open(os.path.join(path, f"batch_{int(b)}.jaxexport"),
+                  "wb") as f:
+            f.write(exp.serialize())
+    meta = {
+        "artifact_version": ARTIFACT_VERSION,
+        "kind": "depthfm_serving_program",
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "batches": [int(b) for b in batches],
+        "hw": [int(hw[0]), int(hw[1])],
+        "size": int(pipe.size),
+        "dtype": jnp.dtype(pipe.dtype).name,
+        "inputs": _depthfm_inputs(pipe.cfg),
+        "num_steps": int(pipe.num_steps),
+        "cfg": dataclasses.asdict(pipe.cfg),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+    return meta
+
+
+class _ExportedServing:
+    """Shared replica-side machinery: load meta + per-bucket programs,
+    platform guard, bucket lookup. Subclasses set `_KIND` and implement
+    ``bind``/``__call__``."""
+
+    _KIND = None
 
     def __init__(self, meta: dict, programs: dict):
         self.meta = meta
@@ -142,8 +223,9 @@ class ExportedAmodalServing:
     def load(cls, path: str, *, check_platform: bool = True):
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        if meta.get("kind") != "amodal_serving_program":
-            raise ValueError(f"not an amodal serving artifact: {path}")
+        if meta.get("kind") != cls._KIND:
+            raise ValueError(f"{path} holds {meta.get('kind')!r}, "
+                             f"expected {cls._KIND!r}")
         if check_platform:
             here = _resolve_platforms(None)[0]
             if here not in meta["platforms"]:
@@ -157,9 +239,13 @@ class ExportedAmodalServing:
                 programs[int(b)] = jax.export.deserialize(f.read())
         return cls(meta, programs)
 
-    def bind(self, params_raw, params_amodal):
-        self._params = (params_raw, params_amodal)
-        return self
+    def _program(self, batch: int):
+        if self._params is None:
+            raise RuntimeError("call .bind(...) before serving")
+        if batch not in self.programs:
+            raise ValueError(f"batch {batch} not in compiled buckets "
+                             f"{self.batches} (front with MicroBatcher)")
+        return self.programs[batch]
 
     @property
     def batches(self):
@@ -168,30 +254,76 @@ class ExportedAmodalServing:
     @property
     def size(self) -> int:
         """Output square size — lets the handle drop into surfaces that
-        expect an `AmodalDepthPipeline` (e.g. `cli.serve.build_server`)."""
+        expect a live pipeline (e.g. `cli.serve.build_server`)."""
         return int(self.meta["size"])
 
     @property
     def hw(self) -> tuple[int, int]:
         return tuple(int(x) for x in self.meta["hw"])
 
+
+class ExportedAmodalServing(_ExportedServing):
+    """A replica-side handle: deserialized programs + bound params.
+
+    ``load(dir)`` -> handle; ``bind(params_raw, params_amodal)`` attaches
+    the weight pytrees (e.g. from ``serving_ckpt.restore_serving_state``
+    or ``AmodalDepthPipeline.load_serving(...)``'s trees); calling the
+    bound handle dispatches the exact-batch program (no padding here —
+    front with `MicroBatcher` for request coalescing)."""
+
+    _KIND = "amodal_serving_program"
+
+    def bind(self, params_raw, params_amodal):
+        self._params = (params_raw, params_amodal)
+        return self
+
     def __call__(self, image: np.ndarray, mask: np.ndarray):
         """image [B,H,W,3], mask [B,H,W] or [B,H,W,1]; B must be a
         compiled bucket. Returns (base, blended) np arrays, like
         ``AmodalDepthPipeline.__call__``."""
-        if self._params is None:
-            raise RuntimeError("call .bind(params_raw, params_amodal) "
-                               "before serving")
         dt = jnp.dtype(self.meta["dtype"])
         img = jnp.asarray(np.asarray(image, np.float32), dt)
         msk = np.asarray(mask, np.float32)
         if msk.ndim == 3:
             msk = msk[..., None]
         msk = jnp.asarray(msk, dt)
-        b = img.shape[0]
-        if b not in self.programs:
-            raise ValueError(f"batch {b} not in compiled buckets "
-                             f"{self.batches} (front with MicroBatcher)")
-        base, blended = self.programs[b].call(*self._params, img, msk)
+        prog = self._program(img.shape[0])
+        base, blended = prog.call(*self._params, img, msk)
         return np.asarray(base, np.float32), np.asarray(blended,
                                                         np.float32)
+
+
+class ExportedDepthFMServing(_ExportedServing):
+    """Replica handle for the generative family: ``load(dir)`` then
+    ``bind(params)`` (from ``DepthFMPipeline.load_serving`` trees or
+    `serving_ckpt.restore_serving_state(..., expect_kind='depthfm')`).
+    Call signature mirrors ``DepthFMPipeline.__call__`` for the guide
+    inputs recorded at export (``meta['inputs']``); returns batched
+    amodal depth [B,S,S] in [0,1]."""
+
+    _KIND = "depthfm_serving_program"
+
+    def bind(self, params):
+        self._params = (params,)
+        return self
+
+    def __call__(self, image: np.ndarray, mask: np.ndarray | None = None,
+                 observation: np.ndarray | None = None,
+                 guide_rgb: np.ndarray | None = None):
+        dt = jnp.dtype(self.meta["dtype"])
+        provided = {"image": image, "mask": mask,
+                    "observation": observation, "guide_rgb": guide_rgb}
+        args = []
+        for n in self.meta["inputs"]:
+            a = provided.get(n)
+            if a is None:
+                raise ValueError(f"artifact requires input {n!r} "
+                                 f"(exported guide inputs: "
+                                 f"{self.meta['inputs']})")
+            a = np.asarray(a, np.float32)
+            if n not in ("image", "guide_rgb") and a.ndim == 3:
+                a = a[..., None]
+            args.append(jnp.asarray(a, dt))
+        prog = self._program(args[0].shape[0])
+        out = prog.call(*self._params, *args)
+        return np.asarray(out[..., 0], np.float32)

@@ -173,3 +173,31 @@ def test_serve_cli_artifact_flow(tmp_path, rng):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+def test_depthfm_artifact_roundtrip(tmp_path, rng):
+    """Generative-family artifact: export -> fresh handle -> serve is
+    bit-identical to the live DepthFMPipeline, and the serve CLI
+    export/replica flags work for --family depthfm."""
+    from amodal_depth_anything_tpu.cli import serve as serve_cli
+    from amodal_depth_anything_tpu.pipeline import (DepthFMPipeline,
+                                                    ExportedDepthFMServing)
+
+    art = tmp_path / "dfm_artifact"
+    serve_cli.main(["--family", "depthfm", "--random", "--size", "32",
+                    "--max_batch", "2", "--export_artifact", str(art)])
+
+    live = DepthFMPipeline.init_random(None, size=32)  # same seed
+    served = ExportedDepthFMServing.load(str(art)).bind(live.params)
+    assert served.size == 32 and served.batches == [2]
+    assert served.meta["inputs"] == ["image", "mask", "observation"]
+
+    img = (rng.random((2, 32, 32, 3)) * 255).astype(np.float32)
+    msk = (rng.random((2, 32, 32)) > 0.5).astype(np.float32)
+    obs = rng.random((2, 32, 32)).astype(np.float32)
+    ref = live(img, msk, obs)
+    got = served(img, msk, obs)
+    np.testing.assert_array_equal(got, ref)
+
+    with pytest.raises(ValueError, match="requires input"):
+        served(img, msk)  # observation missing
