@@ -87,6 +87,10 @@ class TrainerConfig:
     visualization_period: int = 10000
     log_interval: int = 200
     compute_dtype: str = "float32"  # 'bfloat16' for TPU speed
+    # update rule: "adam" (reference recipe) | "adam-bf16mu" | "adafactor"
+    # (factored second moment — the single-chip escape hatch for vitg,
+    # whose f32 Adam state alone is 8.8 GB; see train/state.py)
+    optimizer: str = "adam"
     # False | True (full per-block recompute) | "attn" (save the Pallas
     # attention out/LSE so backward never re-runs the forward kernel —
     # measured 508.5 -> 490.9 ms/step at vitl@518 b8 bf16, +~560 MB HBM;
@@ -151,7 +155,8 @@ class DiscriminativeTrainer:
             lr=cfg.lr, total_iter=cfg.lr_total_iter,
             final_ratio=cfg.lr_final_ratio, warmup_steps=cfg.lr_warmup_steps,
             max_grad_norm=cfg.max_grad_norm,
-            accumulation_steps=cfg.accumulation_steps)
+            accumulation_steps=cfg.accumulation_steps,
+            optimizer=cfg.optimizer)
         if params is None:
             params = model.init(jax.random.PRNGKey(seed))
         params = shard_params(self.mesh, params, fsdp=cfg.fsdp)

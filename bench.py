@@ -410,6 +410,10 @@ def bench_train():
     # reference's configured regime is eff_bs 32 via accumulation
     # (reference train.py:104-107); each timed call is one micro-step.
     accum = int(os.environ.get("AMODAL_BENCH_ACCUM", "1"))
+    # AMODAL_BENCH_OPT: adam (default) | adam-bf16mu | adafactor. vitg's
+    # 1.1B params OOM 16G HBM under Adam at EVERY remat/batch combo
+    # (23.2-24.5 GB measured) — adafactor is the single-chip vitg row.
+    opt = os.environ.get("AMODAL_BENCH_OPT", "adam")
     iters = 5 if on_tpu else 2
 
     model = get_model("AmodalDAv2", encoder=enc)
@@ -420,6 +424,7 @@ def bench_train():
     remat = {"0": False, "full": True, "1": True}.get(remat_env, remat_env)
     cfg = TrainerConfig(compute_dtype="bfloat16" if on_tpu else "float32",
                         remat=remat, accumulation_steps=accum,
+                        optimizer=opt,
                         validation_period=0, visualization_period=0,
                         save_period=0)
     trainer = DiscriminativeTrainer(cfg, model, train_loader=[])
@@ -453,7 +458,8 @@ def bench_train():
 
     print(json.dumps({
         "metric": f"amodal train step ms ({enc} @ {size}px, batch {batch}, "
-                  f"{cfg.compute_dtype}, remat={cfg.remat})",
+                  f"{cfg.compute_dtype}, remat={cfg.remat}"
+                  + (f", opt={opt}" if opt != "adam" else "") + ")",
         "value": round(dt * 1e3, 1),
         "unit": "ms/step",
         "vs_baseline": round(batch / dt, 2),  # img/s/chip
