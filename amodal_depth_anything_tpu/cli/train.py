@@ -108,6 +108,11 @@ def trainer_config_from_cfg(cfg, accumulation_steps: int):
             tcfg.get("sequence_parallel", False) if tcfg else False)),
         remat=cfg.get("remat", tcfg.get("remat", "attn") if tcfg
                       else "attn"),
+        # update rule (train/state.py): adam | adam-bf16mu | adafactor —
+        # the single-chip escape hatch for vitg, whose f32 Adam state
+        # alone is 8.8 GB (measured OOM on a 16 GB chip)
+        optimizer=cfg.get("optimizer", tcfg.get("optimizer", "adam")
+                          if tcfg else "adam"),
     )
 
 

@@ -45,3 +45,22 @@ def test_vitl_config_matches_reference_protocol():
     assert cfg.loss.kwargs.beta == 0.15
     assert cfg.validation.main_val_metric == "abs_relative_difference"
     assert len(cfg.eval.eval_metrics) == 10
+
+
+def test_vitg_singlechip_config_selects_adafactor():
+    """The single-chip vitg recipe: the reference recipe's Adam state
+    (8.8 GB f32 for 1.1B params) OOMs a 16 GB chip at every remat/batch
+    combo, so this config swaps in adafactor at batch 4 (measured fit:
+    836.9 ms/step on v5e)."""
+    from amodal_depth_anything_tpu.cli.train import trainer_config_from_cfg
+    cfg = recursive_load_config(
+        os.path.join(CONFIG_DIR, "train_discriminative_vitg_singlechip.yaml"))
+    assert cfg.model.kwargs.encoder == "vitg"
+    assert cfg.dataloader.max_train_batch_size == 4
+    tcfg = trainer_config_from_cfg(cfg, accumulation_steps=1)
+    assert tcfg.optimizer == "adafactor"
+    assert tcfg.remat == "attn"
+    # the reference recipe stays on adam
+    base = recursive_load_config(
+        os.path.join(CONFIG_DIR, "train_discriminative_vitg.yaml"))
+    assert trainer_config_from_cfg(base, 1).optimizer == "adam"
