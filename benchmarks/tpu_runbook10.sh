@@ -19,8 +19,11 @@ log() { echo "[$(date +%H:%M:%S)] $*" >> /tmp/runbook10.log; }
 log "runbook v10 start"
 
 probe() {
+  # 300s, not 90: on this 1-vCPU box a concurrent pytest/compile makes the
+  # bare jax import take minutes, and a 90s probe then misreads CPU
+  # contention as a tunnel outage (first v10 launch did exactly that).
   while true; do
-    timeout 90 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,)))))" >/dev/null 2>&1
+    timeout 300 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,)))))" >/dev/null 2>&1
     if [ $? -eq 0 ]; then log "tunnel UP"; return; fi
     log "tunnel still down"
     sleep 180
