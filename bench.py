@@ -40,20 +40,25 @@ import jax.numpy as jnp
 # hard timeout and fail FAST (nonzero exit, no JSON line — a zero-value
 # line would be recorded as a real measurement). Skipped on forced-CPU
 # runs; ~30 s extra client init on a healthy TPU, a bounded abort on a
-# wedged one. AMODAL_BENCH_NO_PROBE=1 disables.
+# wedged one. AMODAL_BENCH_NO_PROBE=1 disables;
+# AMODAL_BENCH_PROBE_TIMEOUT overrides the deadline (default 600 s: the
+# tunnel has measured 95 s for a first-op roundtrip while UP-but-degraded
+# and oscillates past 300 s under host load, so a short probe aborts runs
+# a longer wait would have completed).
 if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
         and os.environ.get("AMODAL_BENCH_NO_PROBE", "") != "1"):
     import subprocess
     import sys
+    _probe_s = float(os.environ.get("AMODAL_BENCH_PROBE_TIMEOUT", "600"))
     try:
         subprocess.run(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp; "
              "print(float(jnp.sum(jnp.ones((8,)))))"],
-            timeout=300, check=True, capture_output=True)
+            timeout=_probe_s, check=True, capture_output=True)
     except subprocess.TimeoutExpired:
-        raise SystemExit("bench: TPU probe exceeded 300 s (tunnel down?) — "
-                         "aborting without a number")
+        raise SystemExit(f"bench: TPU probe exceeded {_probe_s:.0f} s "
+                         "(tunnel down?) — aborting without a number")
     except subprocess.CalledProcessError as e:
         raise SystemExit("bench: TPU probe failed: "
                          + e.stderr.decode(errors="replace")[-500:])
