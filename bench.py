@@ -50,18 +50,29 @@ if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
     import subprocess
     import sys
     _probe_s = float(os.environ.get("AMODAL_BENCH_PROBE_TIMEOUT", "600"))
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; "
-             "print(float(jnp.sum(jnp.ones((8,)))))"],
-            timeout=_probe_s, check=True, capture_output=True)
-    except subprocess.TimeoutExpired:
-        raise SystemExit(f"bench: TPU probe exceeded {_probe_s:.0f} s "
-                         "(tunnel down?) — aborting without a number")
-    except subprocess.CalledProcessError as e:
-        raise SystemExit("bench: TPU probe failed: "
-                         + e.stderr.decode(errors="replace")[-500:])
+    # Backend init sometimes raises a transient UNAVAILABLE on an
+    # otherwise-healthy tunnel (CLAUDE.md gotchas); retry those quick
+    # failures a few times before giving up. A TIMEOUT is not retried:
+    # it already waited the full deadline, and measured outages last
+    # hours, so a second wait only doubles the abort latency.
+    _tries = int(os.environ.get("AMODAL_BENCH_PROBE_RETRIES", "3"))
+    for _i in range(_tries):
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jnp.sum(jnp.ones((8,)))))"],
+                timeout=_probe_s, check=True, capture_output=True)
+            break
+        except subprocess.TimeoutExpired:
+            raise SystemExit(f"bench: TPU probe exceeded {_probe_s:.0f} s "
+                             "(tunnel down?) — aborting without a number")
+        except subprocess.CalledProcessError as e:
+            if _i + 1 == _tries:
+                raise SystemExit("bench: TPU probe failed "
+                                 f"{_tries}x: "
+                                 + e.stderr.decode(errors="replace")[-500:])
+            time.sleep(60)
 
 # AMODAL_TPU_CACHE=1: persistent compile cache for TPU runs. Unlike the
 # XLA:CPU cache (AOT host-feature-fragile across driver hosts — see
