@@ -55,7 +55,10 @@ if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
     # failures a few times before giving up. A TIMEOUT is not retried:
     # it already waited the full deadline, and measured outages last
     # hours, so a second wait only doubles the abort latency.
-    _tries = int(os.environ.get("AMODAL_BENCH_PROBE_RETRIES", "3"))
+    # Clamped to >=1: 0/negative would skip the probe loop entirely and
+    # silently bypass the hung-tunnel guard (the explicit opt-out is
+    # AMODAL_BENCH_NO_PROBE, not a zero retry count).
+    _tries = max(1, int(os.environ.get("AMODAL_BENCH_PROBE_RETRIES", "3")))
     for _i in range(_tries):
         try:
             subprocess.run(

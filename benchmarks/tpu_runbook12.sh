@@ -38,3 +38,4 @@ run 2400 "quality gate: int8 base trunk only (gated-candidate hunt)" /tmp/b12_in
 run 2400 "quality gate: tome base 29,1280 (very late gentle merge, 3/4 taps full-stream)" /tmp/b12_tome29.log \
   AMODAL_QUALITY=1 AMODAL_TOME_BASE=29,1280 python bench.py
 log "runbook v12 done"
+touch /tmp/runbook12.done

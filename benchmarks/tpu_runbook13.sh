@@ -3,13 +3,16 @@
 # flagship operating point that passes the proxy quality gate (int8 base
 # trunk only: 3.408 img/s, delta 0.027/0.0032, PASS). Walk outward from
 # it: both trunks (no head), and base-only with calibrated act scales —
-# find the fastest point that still passes. Chains behind runbook12's pid.
+# find the fastest point that still passes. Chains behind runbook12 via done-marker.
 cd /root/repo
 echo $$ > /tmp/runbook13.pid
 log() { echo "[$(date +%H:%M:%S)] $*" >> /tmp/runbook13.log; }
 log "runbook v13 start"
 
-while kill -0 "$(cat /tmp/runbook12.pid 2>/dev/null)" 2>/dev/null; do
+# Chain on runbook12's done-marker, not PID liveness: a stale pid file
+# whose PID got reused would stall forever, and a missing file would
+# start early (advisor r3 finding).
+while [ -f /tmp/runbook12.pid ] && [ ! -f /tmp/runbook12.done ]; do
   log "waiting for runbook12"; sleep 120
 done
 
