@@ -44,6 +44,9 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
     if p["w"].dtype == jnp.int8:  # opt-in W8A8 serving path (ops/quant.py)
         from ..ops.quant import int8_linear
         return int8_linear(p, x)
+    if "smooth" in p:  # SmoothQuant-migrated but not (yet) quantized:
+        # the weight rows carry s, the input must carry 1/s to stay exact
+        x = x * p["smooth"].astype(x.dtype)
     y = jnp.dot(x, p["w"].astype(x.dtype), precision=dot_precision(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["quantize_linear_int8", "quantize_vit_trunk_int8",
-           "quantize_diffusion_int8",
+           "quantize_diffusion_int8", "smoothquant_vit_trunk", "FAMILIES",
            "collect_trunk_act_stats", "calibrate_amodal_dav2",
            "merge_act_stats", "int8_linear", "int8_conv2d",
            "quantize_linear_w8", "quantize_conv_w8", "w8_weight",
@@ -64,6 +64,8 @@ def quantize_linear_int8(p: dict, act_scale: jax.Array | None) -> dict:
         out["act_scale"] = jnp.asarray(act_scale, jnp.float32)
     if "b" in p:
         out["b"] = p["b"]
+    if "smooth" in p:  # SmoothQuant pre-multiplier (smoothquant_vit_trunk)
+        out["smooth"] = p["smooth"]
     return out
 
 
@@ -73,7 +75,10 @@ def int8_linear(p: dict, x: jax.Array) -> jax.Array:
     x: [..., in]; p['w']: int8 [in, out]; p['w_scale']: [out];
     p['act_scale']: scalar (absent -> dynamic per-tensor amax). For
     scan-stacked params the leading layer axis has already been sliced
-    off by the scan."""
+    off by the scan. `p['smooth']` (SmoothQuant) rescales the input
+    channels before quantization — one fusable VPU multiply."""
+    if "smooth" in p:
+        x = x * p["smooth"].astype(x.dtype)
     if "act_scale" in p:
         s_act = p["act_scale"].astype(jnp.float32)
     else:
@@ -108,7 +113,9 @@ def collect_trunk_act_stats(params: dict, cfg, x: jax.Array,
     the model ingests it (apply_amodal_dav2 normalizes internally, so
     pass `_normalize(x)` — or use `calibrate_amodal_dav2` below which
     handles it). Returns {"qkv_in","proj_in","fc1_in","fc2_in"}: [L]
-    f32 amax arrays for `quantize_vit_trunk_int8(act_stats=...)`.
+    f32 amax arrays for `quantize_vit_trunk_int8(act_stats=...)`, plus
+    per-CHANNEL amax `{"proj_in_ch": [L,D], "fc2_in_ch": [L,H]}` for
+    `smoothquant_vit_trunk` outlier migration.
 
     Reuses the exact block sub-ops (`layer_norm`/`attention_core`/
     `mlp_hidden`/`swiglu_hidden`/`linear`) so the instrumented math is the
@@ -142,12 +149,17 @@ def collect_trunk_act_stats(params: dict, cfg, x: jax.Array,
         def amax(a):
             return jnp.max(jnp.abs(a)).astype(jnp.float32)
 
-        return t, (amax(n1), amax(o), amax(n2), amax(hid))
+        def amax_ch(a):  # per-channel amax over (batch, tokens)
+            return jnp.max(jnp.abs(a.astype(jnp.float32)), axis=(0, 1))
 
-    _, (qkv_in, proj_in, fc1_in, fc2_in) = jax.lax.scan(
+        return t, (amax(n1), amax(o), amax(n2), amax(hid),
+                   amax_ch(o), amax_ch(hid))
+
+    _, (qkv_in, proj_in, fc1_in, fc2_in, proj_ch, fc2_ch) = jax.lax.scan(
         block_fn, tokens, backbone["blocks"])
     return {"qkv_in": qkv_in, "proj_in": proj_in,
-            "fc1_in": fc1_in, "fc2_in": fc2_in}
+            "fc1_in": fc1_in, "fc2_in": fc2_in,
+            "proj_in_ch": proj_ch, "fc2_in_ch": fc2_ch}
 
 
 def calibrate_amodal_dav2(params: dict, cfg, x: jax.Array, *,
@@ -177,10 +189,76 @@ def _stat_scale(amax: jax.Array, margin: float) -> jax.Array:
     return jnp.maximum(jnp.asarray(amax, jnp.float32) * margin / 127.0, 1e-9)
 
 
+def _smooth_linear(p: dict, ch_amax: jax.Array, alpha: float):
+    """Migrate per-channel activation outliers of one (stacked) linear
+    into its weight rows (SmoothQuant, arXiv:2211.10438 eq. 4).
+
+    p['w']: [L, in, out] (or [in, out]); ch_amax: [L, in] (or [in]) —
+    per-INPUT-channel activation amax from `collect_trunk_act_stats`.
+    s_j = amax_x_j^alpha / amax_w_j^(1-alpha); the input is multiplied by
+    1/s (stored as p['smooth'], applied by `int8_linear`/`layers.linear`)
+    and weight row j by s_j — mathematically exact, but the smoothed
+    activation's per-tensor int8 range shrinks to max_j(amax_x_j / s_j),
+    which is what defeats the outlier channels that made the calibrated
+    chain FAIL the 0.05 quality gate (delta 0.129, round 3).
+
+    Returns (new_p, smoothed_per_tensor_amax [L])."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    a = jnp.maximum(jnp.asarray(ch_amax, jnp.float32), 1e-6)
+    w_amax = jnp.maximum(jnp.max(jnp.abs(w), axis=-1), 1e-6)  # [L, in]
+    s = (a ** alpha) / (w_amax ** (1.0 - alpha))
+    # guard degenerate channels (dead activations / zero rows)
+    s = jnp.clip(s, 1e-4, 1e4)
+    out = dict(p)
+    out["w"] = (w * s[..., None]).astype(p["w"].dtype)
+    prev = p.get("smooth")
+    inv = (1.0 / s).astype(jnp.float32)
+    out["smooth"] = inv if prev is None else prev * inv
+    return out, jnp.max(a / s, axis=-1)
+
+
+def smoothquant_vit_trunk(params: dict, act_stats: dict, *,
+                          alpha: float = 0.5):
+    """SmoothQuant outlier migration for the DATA-fed trunk matmuls
+    (attn.proj and fc2/w3 — the two families whose unbounded inputs made
+    the calibrated int8 chain fail the quality gate).
+
+    Needs per-channel stats (`proj_in_ch`/`fc2_in_ch`) from
+    `collect_trunk_act_stats`. Returns (params', act_stats') where the
+    weights carry the migration (rows scaled by s, input pre-multiplied
+    by 1/s via the 'smooth' leaf — one fusable VPU multiply at serving)
+    and `proj_in`/`fc2_in` are replaced by the post-smooth per-tensor
+    amax. Run BEFORE `quantize_vit_trunk_int8(act_stats=...)`."""
+    params = dict(params)
+    backbone = dict(params["backbone"])
+    blocks = dict(backbone["blocks"])
+    stats = dict(act_stats)
+
+    attn = dict(blocks["attn"])
+    attn["proj"], stats["proj_in"] = _smooth_linear(
+        attn["proj"], act_stats["proj_in_ch"], alpha)
+    blocks["attn"] = attn
+
+    mlp = dict(blocks["mlp"])
+    last = "fc2" if "fc2" in mlp else "w3"
+    mlp[last], stats["fc2_in"] = _smooth_linear(
+        mlp[last], act_stats["fc2_in_ch"], alpha)
+    blocks["mlp"] = mlp
+
+    backbone["blocks"] = blocks
+    params["backbone"] = backbone
+    return params, stats
+
+
+FAMILIES = ("qkv", "proj", "ffn1", "ffn2")
+
+
 def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA,
                             act_stats: dict | None = None,
                             margin: float = 1.0,
-                            dynamic: bool = False) -> dict:
+                            dynamic: bool = False,
+                            families: tuple = FAMILIES,
+                            smooth_alpha: float | None = None) -> dict:
     """Quantize the matmuls of a dinov2 param tree (returns a new tree;
     everything else is shared).
 
@@ -198,7 +276,19 @@ def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA,
         at RUN time (one VPU reduction per matmul, ~1% of trunk time at
         serving shapes) — full int8 coverage with ZERO calibration
         programs (the calibrated path costs ~2 extra large compiles,
-        ~65 min through this box's tunnel)."""
+        ~65 min through this box's tunnel).
+
+    `families` restricts which matmul families quantize ("qkv", "proj",
+    "ffn1", "ffn2") — the knob for the gate-walk that degrades the chain
+    to its best quality-PASSing subset. `smooth_alpha` applies
+    SmoothQuant outlier migration to proj/ffn2 first (needs the
+    per-channel stats in `act_stats`)."""
+    if smooth_alpha is not None:
+        if act_stats is None or "proj_in_ch" not in act_stats:
+            raise ValueError("smooth_alpha needs per-channel act_stats "
+                             "from collect_trunk_act_stats")
+        params, act_stats = smoothquant_vit_trunk(params, act_stats,
+                                                  alpha=smooth_alpha)
     params = dict(params)
     backbone = dict(params["backbone"])
     blocks = dict(backbone["blocks"])
@@ -215,15 +305,17 @@ def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA,
         s_last = (_stat_scale(act_stats["fc2_in"], margin)
                   if act_stats else False)
     attn = dict(blocks["attn"])
-    attn["qkv"] = quantize_linear_int8(attn["qkv"], s_qkv)
-    if s_proj is not False:
+    if "qkv" in families:
+        attn["qkv"] = quantize_linear_int8(attn["qkv"], s_qkv)
+    if "proj" in families and s_proj is not False:
         attn["proj"] = quantize_linear_int8(attn["proj"], s_proj)
     blocks["attn"] = attn
 
     mlp = dict(blocks["mlp"])
-    first = "fc1" if "fc1" in mlp else "w12"
-    mlp[first] = quantize_linear_int8(mlp[first], s_ffn)
-    if s_last is not False:
+    if "ffn1" in families:
+        first = "fc1" if "fc1" in mlp else "w12"
+        mlp[first] = quantize_linear_int8(mlp[first], s_ffn)
+    if "ffn2" in families and s_last is not False:
         last = "fc2" if "fc2" in mlp else "w3"
         mlp[last] = quantize_linear_int8(mlp[last], s_last)
     blocks["mlp"] = mlp

@@ -166,7 +166,9 @@ class AmodalDepthPipeline:
 
     def quantize_int8(self, *, base: bool = True, amodal: bool = False,
                       head: bool = False, calibration=None,
-                      margin: float = 1.25, dynamic: bool = False) -> None:
+                      margin: float = 1.25, dynamic: bool = False,
+                      smooth_alpha: float | None = None,
+                      families: tuple | None = None) -> None:
         """Opt-in W8A8 int8 serving for the frozen models (ops/quant.py).
 
         Without `calibration`: calibration-free LN-bound scales on the
@@ -184,11 +186,23 @@ class AmodalDepthPipeline:
         3.463 img/s (p50 311 ms) on v5e @1022 b8, ~5% below the
         calibrated path but with ZERO calibration programs (the
         calibrated path costs ~2 extra large compiles, ~65 min through a
-        tunneled TPU)."""
-        from ..ops.quant import (calibrate_amodal_dav2, calibrate_dav2_head,
+        tunneled TPU).
+
+        `smooth_alpha` (calibrated mode only): SmoothQuant outlier
+        migration on the data-fed matmuls before quantizing (the knob
+        that attacks the calib chain's quality-gate failure).
+        `families` restricts which trunk matmul families quantize —
+        see ops.quant.FAMILIES (the gate-walk degradation knob)."""
+        from ..ops.quant import (FAMILIES, calibrate_amodal_dav2,
+                                 calibrate_dav2_head,
                                  quantize_diffusion_int8,
                                  quantize_dpt_head_int8,
                                  quantize_vit_trunk_int8)
+        if families is None:
+            families = FAMILIES
+        if smooth_alpha is not None and calibration is None:
+            raise ValueError("smooth_alpha requires calibration=(image, "
+                             "mask) — it needs per-channel act stats")
 
         if dynamic:
             if calibration is not None:
@@ -253,10 +267,12 @@ class AmodalDepthPipeline:
                         self.params_amodal, x=resize_nearest(img01, size=size))
         if base:
             self.params_raw = quantize_vit_trunk_int8(
-                self.params_raw, act_stats=stats_raw, margin=margin)
+                self.params_raw, act_stats=stats_raw, margin=margin,
+                families=families, smooth_alpha=smooth_alpha)
         if amodal:
             self.params_amodal = quantize_vit_trunk_int8(
-                self.params_amodal, act_stats=stats_amodal, margin=margin)
+                self.params_amodal, act_stats=stats_amodal, margin=margin,
+                families=families, smooth_alpha=smooth_alpha)
         if head:
             # head calibration runs on the already-quantized trunks so the
             # recorded ranges match serving conditions (jitted, same reason

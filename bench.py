@@ -645,7 +645,19 @@ def main():
             stats = jax.jit(
                 lambda p_, x_: calibrate_amodal_dav2(p_, cfg, x_, **guides)
             )(p, rgb01)
-            p = quantize_vit_trunk_int8(p, act_stats=stats, margin=1.25)
+            # AMODAL_INT8_SMOOTH=alpha: SmoothQuant outlier migration on
+            # the data-fed matmuls (proj/fc2) before quantizing — attacks
+            # the 0.129 gate-FAIL delta of the plain calib chain.
+            # AMODAL_INT8_FAMILIES="qkv,ffn1,...": restrict coverage (the
+            # gate-walk knob).
+            smooth_env = os.environ.get("AMODAL_INT8_SMOOTH", "")
+            fam_env = os.environ.get("AMODAL_INT8_FAMILIES", "")
+            from amodal_depth_anything_tpu.ops.quant import FAMILIES
+            p = quantize_vit_trunk_int8(
+                p, act_stats=stats, margin=1.25,
+                smooth_alpha=float(smooth_env) if smooth_env else None,
+                families=(tuple(fam_env.split(",")) if fam_env
+                          else FAMILIES))
             if int8_head:
                 # int8 head convs too (3.4x conv rate on v5e); calibrated
                 # on the same batch
@@ -775,9 +787,13 @@ def main():
                    and (int8_base or int8_amodal))
     dyn_tag = " dyn" if os.environ.get("AMODAL_INT8_DYNAMIC", "") == "1" \
         and (int8_base or int8_amodal) else ""
+    _sm = os.environ.get("AMODAL_INT8_SMOOTH", "")
+    _fam = os.environ.get("AMODAL_INT8_FAMILIES", "")
     quant_tag = dyn_tag + (" int8-base" if int8_base else "") + \
         (" int8-amodal" if int8_amodal else "") + \
         (" int8-head" if head_active else "") + \
+        (f" smooth={_sm}" if _sm and int8_calib else "") + \
+        (f" fam={_fam}" if _fam and int8_calib else "") + \
         (f" tome-base={tome_env}" if base_tm else "") + \
         (f" tome-amodal={tome_am_env}" if amodal_tm else "") + \
         (f" head-tile={head_tile}" if head_tile else "")

@@ -121,6 +121,102 @@ def test_calibrated_trunk_quantizes_all_four_families(rng):
     assert np.abs(out - ref).mean() < 0.02
 
 
+def test_smoothquant_migration_exact_unquantized(rng):
+    """The smooth multiply (x * 1/s) @ (s * W) is mathematically exact;
+    a migrated-but-unquantized tree must match the original closely in
+    f32 (only rounding differs)."""
+    from amodal_depth_anything_tpu.models import get_model
+    from amodal_depth_anything_tpu.models.amodal_dav2 import DAV2Config
+    from amodal_depth_anything_tpu.ops.quant import smoothquant_vit_trunk
+
+    model = get_model("DepthAnythingV2Raw", encoder="vitt")
+    cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((2, 56, 56, 3), dtype=np.float32))
+
+    stats = calibrate_amodal_dav2(params, cfg, x, attn_impl="xla")
+    assert stats["proj_in_ch"].shape == (cfg.vit.depth, cfg.vit.embed_dim)
+    p_sm, stats_sm = smoothquant_vit_trunk(params, stats, alpha=0.5)
+    blocks = p_sm["backbone"]["blocks"]
+    assert blocks["attn"]["proj"]["smooth"].shape == \
+        (cfg.vit.depth, cfg.vit.embed_dim)
+    assert blocks["attn"]["proj"]["w"].dtype != jnp.int8
+    # post-smooth per-tensor amax shrinks (or stays) vs the raw amax
+    assert (np.asarray(stats_sm["proj_in"]) <=
+            np.asarray(stats["proj_in"]) + 1e-5).all()
+
+    ref = np.asarray(model.apply(params, x))
+    out = np.asarray(model.apply(p_sm, x))
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(out - ref).max() < 2e-3 * scale, np.abs(out - ref).max()
+
+
+def test_smoothquant_beats_plain_int8_on_outlier_channels(rng):
+    """Per-tensor activation quant is destroyed by one hot input channel;
+    SmoothQuant migrates it into the weight and must cut the error."""
+    d_in, d_out = 64, 64
+    w = rng.standard_normal((d_in, d_out), dtype=np.float32) * 0.05
+    x = rng.standard_normal((512, d_in)).astype(np.float32)
+    x[:, 7] *= 80.0  # the outlier channel
+    xj = jnp.asarray(x)
+    p = {"w": jnp.asarray(w)}
+    ref = np.asarray(linear(p, xj))
+
+    amax = jnp.max(jnp.abs(xj))  # per-tensor calibrated scale
+    q_plain = quantize_linear_int8(p, amax / 127.0)
+    err_plain = np.abs(np.asarray(int8_linear(q_plain, xj)) - ref).max()
+
+    from amodal_depth_anything_tpu.ops.quant import _smooth_linear
+    ch_amax = jnp.max(jnp.abs(xj), axis=0)
+    p_sm, sm_amax = _smooth_linear(p, ch_amax, 0.5)
+    q_sm = quantize_linear_int8(p_sm, sm_amax / 127.0)
+    assert "smooth" in q_sm
+    err_sm = np.abs(np.asarray(int8_linear(q_sm, xj)) - ref).max()
+    assert err_sm < err_plain / 3, (err_sm, err_plain)
+
+
+def test_smoothquant_trunk_int8_end_to_end(rng):
+    from amodal_depth_anything_tpu.models import get_model
+    from amodal_depth_anything_tpu.models.amodal_dav2 import DAV2Config
+
+    model = get_model("DepthAnythingV2Raw", encoder="vitt")
+    cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((2, 56, 56, 3), dtype=np.float32))
+
+    stats = calibrate_amodal_dav2(params, cfg, x, attn_impl="xla")
+    params_q = quantize_vit_trunk_int8(params, act_stats=stats, margin=1.1,
+                                       smooth_alpha=0.5)
+    blocks = params_q["backbone"]["blocks"]
+    for fam in (blocks["attn"]["proj"], blocks["mlp"]["fc2"]):
+        assert fam["w"].dtype == jnp.int8
+        assert "smooth" in fam
+    ref = np.asarray(model.apply(params, x))
+    out = np.asarray(model.apply(params_q, x))
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).max() < 0.08, np.abs(out - ref).max()
+
+
+def test_quantize_families_subset(rng):
+    from amodal_depth_anything_tpu.models import get_model
+    from amodal_depth_anything_tpu.models.amodal_dav2 import DAV2Config
+
+    model = get_model("DepthAnythingV2Raw", encoder="vitt")
+    cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((1, 56, 56, 3), dtype=np.float32))
+    stats = calibrate_amodal_dav2(params, cfg, x, attn_impl="xla")
+    params_q = quantize_vit_trunk_int8(params, act_stats=stats,
+                                       families=("qkv", "ffn2"))
+    blocks = params_q["backbone"]["blocks"]
+    assert blocks["attn"]["qkv"]["w"].dtype == jnp.int8
+    assert blocks["mlp"]["fc2"]["w"].dtype == jnp.int8
+    assert blocks["attn"]["proj"]["w"].dtype != jnp.int8
+    assert blocks["mlp"]["fc1"]["w"].dtype != jnp.int8
+    out = np.asarray(model.apply(params_q, x))
+    assert np.isfinite(out).all()
+
+
 def test_merge_act_stats(rng):
     from amodal_depth_anything_tpu.ops.quant import merge_act_stats
 
