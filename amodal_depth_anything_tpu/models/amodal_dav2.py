@@ -32,6 +32,7 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 # reference `infer.py:60`).
 DAV2_PRESETS = {
     "vitt": dict(features=16, out_channels=(8, 16, 32, 32)),
+    "vitp": dict(features=32, out_channels=(16, 32, 64, 64)),
     "vits": dict(features=64, out_channels=(48, 96, 192, 384)),
     "vitb": dict(features=128, out_channels=(96, 192, 384, 768)),
     "vitl": dict(features=256, out_channels=(256, 512, 1024, 1024)),

@@ -48,6 +48,11 @@ GUIDE_CHANNELS = {
 # 'vitt' is ours: a tiny preset for tests / multi-chip dry runs.
 VIT_PRESETS = {
     "vitt": dict(embed_dim=64, depth=4, num_heads=2, ffn="mlp"),
+    # 'vitp' is ours too: the structured-weight quality-proxy preset
+    # (scripts/train_proxy.py) — 12 layers so ToMe merge points between
+    # taps exist (vitt's 4 layers are ALL taps), narrow enough that the
+    # trained checkpoint stays a few MB in-repo.
+    "vitp": dict(embed_dim=128, depth=12, num_heads=2, ffn="mlp"),
     "vits": dict(embed_dim=384, depth=12, num_heads=6, ffn="mlp"),
     "vitb": dict(embed_dim=768, depth=12, num_heads=12, ffn="mlp"),
     "vitl": dict(embed_dim=1024, depth=24, num_heads=16, ffn="mlp"),
@@ -57,6 +62,7 @@ VIT_PRESETS = {
 # DPT tap depths per encoder (reference `dpt.py:213-218`).
 INTERMEDIATE_LAYER_IDX = {
     "vitt": (0, 1, 2, 3),
+    "vitp": (2, 5, 8, 11),
     "vits": (2, 5, 8, 11),
     "vitb": (2, 5, 8, 11),
     "vitl": (4, 11, 17, 23),
