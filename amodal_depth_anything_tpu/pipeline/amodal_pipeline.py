@@ -168,7 +168,8 @@ class AmodalDepthPipeline:
                       head: bool = False, calibration=None,
                       margin: float = 1.25, dynamic: bool = False,
                       smooth_alpha: float | None = None,
-                      families: tuple | None = None) -> None:
+                      families: tuple | None = None,
+                      mixed: bool = False) -> None:
         """Opt-in W8A8 int8 serving for the frozen models (ops/quant.py).
 
         Without `calibration`: calibration-free LN-bound scales on the
@@ -265,14 +266,30 @@ class AmodalDepthPipeline:
                     calibrate_amodal_dav2, cfg=self.amodal_cfg,
                     attn_impl=self.attn_impl, **amodal_guides))(
                         self.params_amodal, x=resize_nearest(img01, size=size))
+        def _quantize_trunk(p, stats):
+            if mixed:
+                # LN-bound (outlier-clipping, gate-passing) scales on the
+                # LN-fed families; calibrated(+smooth) scales only where
+                # no LN bound exists (proj/ffn2)
+                if stats is None:
+                    raise ValueError("mixed=True requires calibration")
+                p = quantize_vit_trunk_int8(
+                    p, act_stats=stats, margin=margin,
+                    smooth_alpha=smooth_alpha,
+                    families=tuple(f for f in ("proj", "ffn2")
+                                   if f in families))
+                return quantize_vit_trunk_int8(
+                    p, families=tuple(f for f in ("qkv", "ffn1")
+                                      if f in families))
+            return quantize_vit_trunk_int8(
+                p, act_stats=stats, margin=margin,
+                families=families, smooth_alpha=smooth_alpha)
+
         if base:
-            self.params_raw = quantize_vit_trunk_int8(
-                self.params_raw, act_stats=stats_raw, margin=margin,
-                families=families, smooth_alpha=smooth_alpha)
+            self.params_raw = _quantize_trunk(self.params_raw, stats_raw)
         if amodal:
-            self.params_amodal = quantize_vit_trunk_int8(
-                self.params_amodal, act_stats=stats_amodal, margin=margin,
-                families=families, smooth_alpha=smooth_alpha)
+            self.params_amodal = _quantize_trunk(self.params_amodal,
+                                                 stats_amodal)
         if head:
             # head calibration runs on the already-quantized trunks so the
             # recorded ranges match serving conditions (jitted, same reason

@@ -536,3 +536,47 @@ def test_heuristics_p2g_int8_knob(rng):
     assert np.isfinite(got).all()
     assert got.shape == exact.shape
     assert np.abs(got - exact).mean() < 0.08, np.abs(got - exact).mean()
+
+
+def test_pipeline_mixed_scale_quantization(rng):
+    """mixed=True: LN-bound scales on qkv/ffn1 + calibrated(+smooth)
+    proj/ffn2 — all four families int8, output sane; the hybrid that
+    combines the gate-passing LN clip with outlier-migrated coverage."""
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, init_amodal_dav2)
+    from amodal_depth_anything_tpu.pipeline.amodal_pipeline import (
+        AmodalDepthPipeline)
+
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    amodal_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    p_raw = init_amodal_dav2(jax.random.PRNGKey(0), raw_cfg)
+    p_am = init_amodal_dav2(jax.random.PRNGKey(1), amodal_cfg)
+    img = (rng.random((64, 72, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((64, 72), np.float32)
+    mask[10:40, 20:60] = 1.0
+
+    ref = AmodalDepthPipeline(p_raw, raw_cfg, p_am, amodal_cfg, size=56,
+                              attn_impl="xla")
+    base_ref, blend_ref = ref(img, mask)
+
+    q = AmodalDepthPipeline(p_raw, raw_cfg, p_am, amodal_cfg, size=56,
+                            attn_impl="xla")
+    q.quantize_int8(base=True, amodal=True, calibration=(img, mask),
+                    smooth_alpha=0.5, mixed=True)
+    blocks = q.params_raw["backbone"]["blocks"]
+    for fam in (blocks["attn"]["qkv"], blocks["attn"]["proj"],
+                blocks["mlp"]["fc1"], blocks["mlp"]["fc2"]):
+        assert fam["w"].dtype == jnp.int8
+    # proj/fc2 carry the smooth migration; qkv/fc1 are plain LN-bound
+    assert "smooth" in blocks["attn"]["proj"]
+    assert "smooth" not in blocks["attn"]["qkv"]
+    base_q, blend_q = q(img, mask)
+    assert np.isfinite(blend_q).all()
+    assert np.abs(blend_q - blend_ref).max() < 0.3
+
+    # mixed without calibration is an error
+    import pytest
+    bad = AmodalDepthPipeline(p_raw, raw_cfg, p_am, amodal_cfg, size=56,
+                              attn_impl="xla")
+    with pytest.raises(ValueError):
+        bad.quantize_int8(base=True, mixed=True)
