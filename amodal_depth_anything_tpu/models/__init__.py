@@ -42,13 +42,16 @@ def _build_amodal_dav2(*, encoder: str = "vitl",
     # per-compile cost, while one fused program compiles once and lets XLA
     # fuse across the whole forward.
     @functools.partial(jax.jit, static_argnames=("attn_impl", "remat",
-                                                 "act_sharding"))
+                                                 "act_sharding",
+                                                 "head_batch_tile"))
     def _apply(params, x, guide_rgb=None, guide_mask=None, observation=None,
-               attn_impl=None, remat=False, act_sharding=None):
+               attn_impl=None, remat=False, act_sharding=None,
+               head_batch_tile=None):
         return apply_amodal_dav2(params, cfg, x, guide_rgb=guide_rgb,
                                  guide_mask=guide_mask, observation=observation,
                                  attn_impl=attn_impl, remat=remat,
-                                 act_sharding=act_sharding)
+                                 act_sharding=act_sharding,
+                                 head_batch_tile=head_batch_tile)
 
     return Model(
         name="AmodalDAv2",

@@ -131,7 +131,15 @@ def dpt_head(params: dict, cfg: DPTConfig,
     (batch 16 @1022 px needs 23.2 GB bf16 on a 16 GB v5e with the
     all-at-once head); serializing the head over chunks caps its peak at
     one chunk's worth while the trunks keep the full batch for MXU
-    efficiency."""
+    efficiency.
+
+    The chunk body is `jax.checkpoint`ed: under grad, a plain scan would
+    STACK per-chunk conv residuals (same total memory as untiled — no
+    win); with remat only the chunk inputs are saved and the backward
+    recomputes one chunk's forward at a time, so head activation peak
+    really drops by ~(B / batch_tile). Inference is unaffected (no
+    residuals are kept without grad). This is the single-chip HBM lever
+    that fits vitg@518 b8 training (otherwise OOM by 595 MB)."""
     b = features[0][0].shape[0]
     if batch_tile is not None and b > batch_tile:
         if b % batch_tile:
@@ -141,8 +149,9 @@ def dpt_head(params: dict, cfg: DPTConfig,
         stacked = [(tok.reshape(n_chunks, batch_tile, *tok.shape[1:]),
                     cls.reshape(n_chunks, batch_tile, *cls.shape[1:]))
                    for tok, cls in features]
-        out = jax.lax.map(
-            lambda feats: dpt_head(params, cfg, feats, patch_hw), stacked)
+        body = jax.checkpoint(
+            lambda feats: dpt_head(params, cfg, feats, patch_hw))
+        out = jax.lax.map(body, stacked)
         return out.reshape(b, *out.shape[2:])
     ph, pw = patch_hw
     taps = []

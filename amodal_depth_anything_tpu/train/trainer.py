@@ -109,6 +109,12 @@ class TrainerConfig:
     profile_dir: str | None = None
     profile_start: int = 50
     profile_steps: int = 5
+    # DPT-head batch tiling UNDER GRAD (the serving AMODAL_HEAD_TILE
+    # trick applied to training): run head fwd+bwd in lax.map chunks of
+    # this batch size — exact, caps the full-grid fusion pyramid's
+    # activation peak. The single-chip HBM lever for vitg@518 b8, which
+    # otherwise OOMs by 595 MB even with adafactor (RESULTS_r03_tpu.md).
+    head_tile: int | None = None
 
 
 def _strategy_loss(loss_fn, strategy: str, pred, gt, valid, guide, invisible,
@@ -210,6 +216,8 @@ class DiscriminativeTrainer:
         # only ViT-trunk models accept act_sharding; omit it otherwise
         sp_kw = ({} if self._act_sharding() is None
                  else {"act_sharding": self._act_sharding()})
+        if cfg.head_tile:
+            sp_kw = dict(sp_kw, head_batch_tile=cfg.head_tile)
 
         def loss_of(params, batch):
             rgb = (batch["rgb_int"] / 255.0).astype(dtype)

@@ -309,3 +309,31 @@ def test_memory_efficient_optimizers(sam_tree, opt):
         sizes = sorted(l.size for l in jax.tree.leaves(st)
                        if hasattr(l, "size") and l.size > 1)
         assert sizes and sizes[-1] <= 512, sizes  # no [256,512] moment
+
+
+def test_head_tile_train_step_exact(sam_tree):
+    """TrainerConfig.head_tile (DPT-head fwd+bwd in rematted lax.map
+    chunks — the vitg@518 b8 HBM lever) is EXACT: one train step from
+    identical init must land on the same params as the untiled step."""
+    root, list_path = sam_tree
+    mesh = make_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+
+    def one_step(head_tile):
+        train_loader, _ = _loaders(root, list_path, batch=4)
+        model = get_model("AmodalDAv2", encoder="vitt")
+        trainer = DiscriminativeTrainer(
+            _cfg(max_iter=1, head_tile=head_tile), model, train_loader,
+            mesh=mesh)
+        trainer.train()
+        return trainer.state.params
+
+    p_full = one_step(None)
+    p_tiled = one_step(2)
+    a = np.asarray(p_full["depth_head"]["scratch"]["output_conv2"]
+                   ["conv2"]["w"])
+    b = np.asarray(p_tiled["depth_head"]["scratch"]["output_conv2"]
+                   ["conv2"]["w"])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    c = np.asarray(p_full["backbone"]["cls_token"])
+    d = np.asarray(p_tiled["backbone"]["cls_token"])
+    np.testing.assert_allclose(c, d, rtol=1e-5, atol=1e-6)
