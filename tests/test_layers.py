@@ -292,3 +292,25 @@ def test_mha_q_split_row_exact(rng):
     np.testing.assert_array_equal(np.asarray(base), np.asarray(odd))
     off = mha(q, k, v, interpret=True, q_split=0)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(off))
+
+
+def test_fused_epilogue_matches_reference():
+    """matmul_scale_residual (Pallas, interpret on CPU) == the XLA chain
+    it replaces (resid + gamma * (x @ W + b))."""
+    import numpy as np
+
+    from amodal_depth_anything_tpu.ops.fused_epilogue import (
+        matmul_scale_residual, matmul_scale_residual_reference)
+
+    key = jax.random.PRNGKey(3)
+    m, k, n = 512, 128, 256
+    x = jax.random.normal(key, (m, k), jnp.float32)
+    w = jax.random.normal(key, (k, n), jnp.float32) * 0.05
+    b = jax.random.normal(key, (n,), jnp.float32)
+    g = jax.random.normal(key, (n,), jnp.float32) * 0.1
+    r = jax.random.normal(key, (m, n), jnp.float32)
+
+    ref = matmul_scale_residual_reference(x, w, b, g, r)
+    out = matmul_scale_residual(x, w, b, g, r, block_m=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
