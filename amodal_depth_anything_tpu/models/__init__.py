@@ -78,10 +78,12 @@ def _build_raw_dav2(*, encoder: str = "vitg", **_ignored) -> Model:
 
 def _build_depthfm(*, guide_type: str = "mask+observation",
                    ckpt_path: str | None = None, tiny: bool = False,
+                   cfg_overrides: dict | None = None,
                    **_ignored) -> Model:
     """DepthFMAmodal (reference `dfm_amodal.py:34`). `ckpt_path` points at
     the depthfm-v1.ckpt torch checkpoint; weights load via the converter.
-    `tiny=True` shrinks UNet/VAE for tests."""
+    `tiny=True` shrinks UNet/VAE for tests; `cfg_overrides` patches
+    DepthFMConfig fields on top (the dryrun's compile-budget knob)."""
     from .depthfm import (DepthFMConfig, depthfm_generate, init_depthfm,
                           depthfm_train_outputs)
 
@@ -91,6 +93,9 @@ def _build_depthfm(*, guide_type: str = "mask+observation",
                             context_len=7, vae_channels=(16, 32), vae_layers=1)
     else:
         cfg = DepthFMConfig(guide_type=guide_type)
+    if cfg_overrides:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
 
     @functools.partial(jax.jit,
                        static_argnames=("mode", "num_steps", "attn_impl",

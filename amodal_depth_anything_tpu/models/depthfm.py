@@ -53,6 +53,7 @@ class DepthFMConfig:
     model_channels: int = 320
     channel_mult: tuple = (1, 2, 4, 4)
     num_heads: int = 8
+    num_res_blocks: int = 2
     # VAE size
     vae_channels: tuple = (128, 256, 512, 512)
     vae_layers: int = 2
@@ -69,7 +70,8 @@ class DepthFMConfig:
                           context_dim=self.context_dim,
                           model_channels=self.model_channels,
                           channel_mult=self.channel_mult,
-                          num_heads=self.num_heads)
+                          num_heads=self.num_heads,
+                          num_res_blocks=self.num_res_blocks)
 
     @property
     def vae(self):

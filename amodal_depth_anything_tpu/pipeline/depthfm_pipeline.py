@@ -129,13 +129,17 @@ class DepthFMPipeline:
 
     @classmethod
     def init_random(cls, key, *, size: int = 32, num_steps: int = 2,
-                    attn_impl: str | None = "xla", **kw):
+                    attn_impl: str | None = "xla",
+                    cfg_overrides: dict | None = None, **kw):
         """Seeded random-weight tiny-preset pipeline — the no-checkpoint
-        demo/smoke constructor (see AmodalDepthPipeline.init_random)."""
+        demo/smoke constructor (see AmodalDepthPipeline.init_random).
+        `cfg_overrides` patches the tiny DepthFMConfig (the dryrun's
+        compile-budget knob)."""
         import jax
 
         from ..models import get_model
-        model = get_model("DepthFMAmodal", tiny=True)
+        model = get_model("DepthFMAmodal", tiny=True,
+                          cfg_overrides=cfg_overrides)
         return cls(model.init(jax.random.PRNGKey(0) if key is None
                               else key),
                    model.config, size=size, num_steps=num_steps,

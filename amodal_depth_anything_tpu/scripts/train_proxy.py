@@ -112,6 +112,12 @@ def train_raw_base(rgbs, depths, *, encoder: str, steps: int, batch: int,
     cfg = DAV2Config(encoder=encoder, guide_type="none", raw=True)
     params = jax.jit(lambda k: init_amodal_dav2(k, cfg))(
         jax.random.PRNGKey(seed))
+    # random init leaves the raw ReLU head all-negative: flat-0 depth AND
+    # zero gradient through the dead output ReLU, so training never
+    # escapes (observed: 800 steps at constant loss). Bias the final conv
+    # positive (same trick as bench.py's quality path).
+    conv2 = params["depth_head"]["scratch"]["output_conv2"]["conv2"]
+    conv2["b"] = conv2["b"] + 0.5
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adam(optax.cosine_decay_schedule(lr, steps)))
     opt_state = tx.init(params)
@@ -208,12 +214,31 @@ def main(argv=None):
                                  batch=args.batch, lr=args.lr)
     save_params_npz(os.path.join(args.out, "amodal.npz"), params_amodal)
 
+    # convergence + non-degeneracy evidence for the gate runs: a flat
+    # (zero-dynamic-range) base prediction would make every quality
+    # delta vacuously small
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.amodal_dav2 import DAV2Config, apply_raw_dav2
+    rcfg = DAV2Config(encoder=args.encoder, guide_type="none", raw=True)
+    pred = jax.jit(lambda p, x: apply_raw_dav2(p, rcfg, x, attn_impl="xla"))(
+        params_raw, jnp.asarray(rgbs[:4]))
+    pred_std = float(jnp.std(pred))
+    first, last = (float(np.mean(raw_losses[:50])),
+                   float(np.mean(raw_losses[-50:])))
+    if not (last < 0.8 * first and pred_std > 0.01):
+        print(f"WARNING: raw proxy under-trained (loss {first:.4f} -> "
+              f"{last:.4f}, pred_std {pred_std:.4f}) — gate verdicts on "
+              "this checkpoint are unreliable")
+
     meta = {
         "encoder": args.encoder, "size": args.size, "steps": args.steps,
         "batch": args.batch, "lr": args.lr, "data_n": args.data_n,
         "seed": args.seed, "style": "scenes",
-        "raw_loss_first50_mean": float(np.mean(raw_losses[:50])),
-        "raw_loss_last50_mean": float(np.mean(raw_losses[-50:])),
+        "raw_loss_first50_mean": first,
+        "raw_loss_last50_mean": last,
+        "raw_pred_std": pred_std,
     }
     with open(os.path.join(args.out, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
