@@ -156,7 +156,8 @@ def main(argv=None) -> None:
     from ..utils.config import recursive_load_config
     from ..utils.depth_transform import get_depth_normalizer
     from ..utils.logging_util import (config_logging, init_wandb,
-                                      log_slurm_job_id, tb_logger)
+                                      load_wandb_job_id, log_slurm_job_id,
+                                      save_wandb_job_id, tb_logger)
 
     cfg = recursive_load_config(args.config)
     if args.img_dropout is not None:
@@ -184,9 +185,27 @@ def main(argv=None) -> None:
     tb_logger.set_dir(out_tb)
     if not args.no_wandb:
         wcfg = cfg.get("wandb")
-        init_wandb(enable=wcfg is not None,
-                   project=wcfg.get("project") if wcfg else None,
-                   name=ts, config=cfg.to_dict() if wcfg else None)
+        # resume: re-attach to the original wandb run via the persisted
+        # WANDB_ID (reference logging_util.py:85-93 persists it but its
+        # resume path raises NotImplementedError, train.py:163-164; here
+        # resume works, so the id round-trip is live). --resume_run
+        # points at a checkpoint dir; WANDB_ID lives at the run-dir
+        # level, so search a few levels up.
+        resume_kw = {}
+        if args.resume_run:
+            probe = os.path.abspath(args.resume_run)
+            for _ in range(4):
+                if os.path.exists(os.path.join(probe, "WANDB_ID")):
+                    resume_kw = {"id": load_wandb_job_id(probe),
+                                 "resume": "must"}
+                    break
+                probe = os.path.dirname(probe)
+        run = init_wandb(enable=wcfg is not None,
+                         project=wcfg.get("project") if wcfg else None,
+                         name=ts, config=cfg.to_dict() if wcfg else None,
+                         **resume_kw)
+        if run is not None and not resume_kw:
+            save_wandb_job_id(run, run_dir)
 
     from ..parallel import MeshConfig
     mesh = make_mesh(MeshConfig(model=args.mesh_model))

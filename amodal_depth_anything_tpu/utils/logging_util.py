@@ -11,6 +11,7 @@ import logging
 import os
 
 __all__ = ["config_logging", "TrainingLogger", "tb_logger", "init_wandb",
+           "load_wandb_job_id", "save_wandb_job_id",
            "log_slurm_job_id", "eval_dic_to_text"]
 
 
@@ -65,6 +66,14 @@ tb_logger = TrainingLogger()
 
 
 def init_wandb(enable: bool, **kwargs):
+    """wandb.init with sync_tensorboard (reference logging_util.py:68-73).
+
+    Degrades to a warning no-op when wandb isn't installed (this image).
+    Pass `id=` + `resume=` (from `load_wandb_job_id`) to re-attach a
+    resumed training run to its original wandb run — the reference
+    persists WANDB_ID but its resume path raises NotImplementedError
+    (train.py:163-164); here resume actually works, so the id round-trip
+    is live (cli/train.py)."""
     if not enable:
         return None
     try:
@@ -73,6 +82,19 @@ def init_wandb(enable: bool, **kwargs):
         logging.warning("wandb is not installed; skipping wandb init")
         return None
     return wandb.init(sync_tensorboard=True, **kwargs)
+
+
+def load_wandb_job_id(out_dir: str) -> str:
+    """Read the persisted wandb run id (reference logging_util.py:85-88)."""
+    with open(os.path.join(out_dir, "WANDB_ID")) as f:
+        return f.read().strip()
+
+
+def save_wandb_job_id(run, out_dir: str) -> None:
+    """Persist the wandb run id next to the checkpoints so a resumed run
+    re-attaches (reference logging_util.py:91-93)."""
+    with open(os.path.join(out_dir, "WANDB_ID"), "w+") as f:
+        f.write(run.id)
 
 
 def log_slurm_job_id(step: int = 0) -> None:

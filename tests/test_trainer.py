@@ -337,3 +337,50 @@ def test_head_tile_train_step_exact(sam_tree):
     c = np.asarray(p_full["backbone"]["cls_token"])
     d = np.asarray(p_tiled["backbone"]["cls_token"])
     np.testing.assert_allclose(c, d, rtol=1e-5, atol=1e-6)
+
+
+def test_train_cli_wandb_resume_reattaches(sam_tree, tmp_path, monkeypatch):
+    """Resumed training re-attaches to the ORIGINAL wandb run: run 1
+    persists WANDB_ID at the run-dir level; run 2 with --resume_run
+    passes id=<that id>, resume='must' to wandb.init. (The reference
+    persists the id, logging_util.py:85-93, but its resume path raises
+    NotImplementedError, train.py:163-164 — here the round-trip is
+    live.)"""
+    import glob
+    import sys
+    import types
+
+    calls = []
+    fake = types.ModuleType("wandb")
+
+    def _init(**kw):
+        calls.append(kw)
+        return types.SimpleNamespace(id="original-run",
+                                     finish=lambda: None)
+
+    fake.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    root, _ = sam_tree
+    from amodal_depth_anything_tpu.cli import train as train_cli
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "smoke_synthetic_vitt.yaml")
+    wandb_cfg = tmp_path / "smoke_wandb.yaml"
+    wandb_cfg.write_text(f"base_config:\n- {os.path.abspath(cfg_path)}\n"
+                         "wandb:\n  project: rehearse\nsave_period: 1\n")
+    out = tmp_path / "out_resume"
+    train_cli.main(["--config", str(wandb_cfg), "--base_data_dir", root,
+                    "--output_dir", str(out), "--max_iter", "1"])
+    id_files = glob.glob(str(out / "*" / "*" / "WANDB_ID"))
+    assert id_files, "WANDB_ID not persisted at the run-dir level"
+    with open(id_files[0]) as f:
+        assert f.read().strip() == "original-run"
+
+    ckpts = glob.glob(str(out / "*" / "*" / "checkpoint" / "*"))
+    assert ckpts, "no checkpoint saved for the resume leg"
+    train_cli.main(["--config", str(wandb_cfg), "--base_data_dir", root,
+                    "--output_dir", str(out), "--max_iter", "2",
+                    "--resume_run", ckpts[0]])
+    assert calls[-1].get("id") == "original-run"
+    assert calls[-1].get("resume") == "must"
