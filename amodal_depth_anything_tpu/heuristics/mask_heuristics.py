@@ -58,6 +58,14 @@ class Pix2GestaltConfig:
     ddim_steps: int = 100
     guidance_scale: float = 1.5
     cond_mode: str = "image+mask"
+    # Which image feeds CLIP — the one semantic choice a shape check
+    # CANNOT settle (ROADMAP item 2): "auto" = occluded image for
+    # image+mask (the visible object enters via the mask latent),
+    # masked object for zero123-style "image". On checkpoint day run
+    # `verify_checkpoints --rehearse` (clip-divergence row) then both
+    # explicit settings against the published demo output; the
+    # non-matching one is mechanically excluded.
+    clip_input: str = "auto"  # "auto" | "occluded" | "masked_object"
     # DeepCache (interval, shallow groups) over the DDIM steps — opt-in,
     # parity-breaking; None = every step runs the full UNet
     ddim_deep_cache: tuple | None = None
@@ -277,11 +285,15 @@ class MaskHeuristics:
                                               mask_rgb * 2.0 - 1.0, vae_cfg)
                 cond_latent = jnp.concatenate([img_latent, mask_latent],
                                               axis=-1)
-                clip_in_img = image01  # CLIP(occluded image); the visible
-                # object enters via the mask latent
+                default_clip = "occluded"  # the visible object already
+                # enters via the mask latent
             else:
                 cond_latent = img_latent
-                clip_in_img = image01 * visible_mask01  # masked object
+                default_clip = "masked_object"
+            clip_choice = (default_clip if p2g_cfg.clip_input == "auto"
+                           else p2g_cfg.clip_input)
+            clip_in_img = (image01 if clip_choice == "occluded"
+                           else image01 * visible_mask01)
             clip_in = resize2d(clip_in_img, size=(clip_cfg.image_size,
                                                   clip_cfg.image_size),
                                method="bilinear")

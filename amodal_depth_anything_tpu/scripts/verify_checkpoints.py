@@ -434,7 +434,7 @@ def check_quality(report, args):
         # largest legal merge ("half the tokens") at any --size
         default_r = n_tokens // 2 - 1
         first_tap = {"vits": 2, "vitb": 2, "vitl": 4, "vitg": 9,
-                     "vitt": 0}
+                     "vitt": 0, "vitp": 2}
         bt = tuple(int(v) for v in args.tome_base.split(",")) \
             if args.tome_base else (first_tap[exact.raw_cfg.encoder],
                                     default_r)
@@ -622,6 +622,96 @@ def check_pix2gestalt(report, path, cfg=None):
     _row(report, "pix2gestalt_convert", _convert)
 
 
+def check_p2g_clip_divergence(report, path, cfg):
+    """ROADMAP item 2's failing-loudly guard: run the pix2gestalt
+    completion END-TO-END with BOTH CLIP-input candidates ("occluded"
+    image vs "masked_object") on the converted UNet and assert the
+    outputs diverge. Shapes cannot settle which image the real
+    `epoch=000005.ckpt` expects; this row proves the choice is
+    *observable* at the output, so on checkpoint day running both
+    explicit `clip_input` settings against the published demo render
+    mechanically excludes the wrong one (reference app.py:113-122)."""
+
+    def _run():
+        import dataclasses
+
+        import torch
+
+        import jax
+
+        from ..convert.heuristics_convert import (convert_pix2gestalt_unet,
+                                                  p2g_cfg_from_ckpt)
+        from ..heuristics.mask_heuristics import MaskHeuristics
+        from ..models.clip_vit import CLIPVisionConfig, init_clip_vision
+        from ..models.sam import SAMConfig, init_sam
+        from ..models.vae import VAEConfig, init_vae
+
+        ldm = torch.load(path, map_location="cpu", weights_only=False)
+        sd = {k: v.numpy() for k, v in ldm["state_dict"].items()}
+        det, _cc = p2g_cfg_from_ckpt(sd)
+        det = dataclasses.replace(cfg, cond_mode=det.cond_mode,
+                                  ddim_steps=2,
+                                  image_size=min(cfg.image_size, 32))
+        unet = convert_pix2gestalt_unet(sd, det.unet)
+        # The LDM UNet zero-inits its transformer/res output projections
+        # (SD zero-module convention), which makes an UNTRAINED ckpt
+        # structurally context-blind — the rehearsal would measure a
+        # vacuous 0.0 divergence. Real trained checkpoints have non-zero
+        # proj_out; emulate that by nudging exactly the all-zero matrix
+        # leaves (shapes/layout untouched, still exercises the real
+        # converted weights everywhere else).
+        def _nudge(path, leaf):
+            import jax.numpy as jnp
+            if leaf.ndim >= 2 and not jnp.any(leaf):
+                k = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
+                return jax.random.normal(k, leaf.shape, leaf.dtype) * 0.2
+            return leaf
+        import jax.tree_util as jtu
+        unet = jtu.tree_map_with_path(_nudge, unet)
+
+        # tiny random companions (the divergence under test lives in the
+        # conditioning path of the CONVERTED UNet; clip/vae weights only
+        # need to be non-degenerate)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+        clip_cfg = CLIPVisionConfig(image_size=32, patch_size=8, width=32,
+                                    depth=2, num_heads=2,
+                                    projection_dim=det.context_dim)
+        vae_cfg = VAEConfig(block_out_channels=(16, 32), layers_per_block=1)
+        sam_cfg = SAMConfig(img_size=64, embed_dim=32, depth=2, num_heads=2,
+                            window_size=2, global_blocks=(1,), out_chans=32,
+                            decoder_dim=32, decoder_heads=2)
+        import jax.numpy as jnp
+        p2g_params = {"unet": unet, "vae": init_vae(k1, vae_cfg),
+                      "clip": init_clip_vision(k2, clip_cfg),
+                      "uncond_ctx": jnp.zeros((1, 1, det.context_dim),
+                                              jnp.float32)}
+        sam_params = init_sam(k3, sam_cfg)
+
+        rng = np.random.default_rng(3)
+        img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        mask = np.zeros((48, 48), np.uint8)
+        mask[12:30, 8:24] = 1
+
+        outs = {}
+        for choice in ("occluded", "masked_object"):
+            h = MaskHeuristics(
+                sam_params, sam_cfg, p2g_params,
+                dataclasses.replace(det, clip_input=choice),
+                clip_cfg=clip_cfg, vae_cfg=vae_cfg)
+            outs[choice] = h.pix2gestalt_completion(img, mask)
+            assert np.isfinite(outs[choice]).all(), \
+                f"non-finite completion for clip_input={choice}"
+        delta = float(np.abs(outs["occluded"]
+                             - outs["masked_object"]).max())
+        assert delta > 1e-4, \
+            (f"CLIP-input candidates indistinguishable (max delta "
+             f"{delta:.2e}) — checkpoint-day selection would be blind")
+        return (f"candidates diverge: max|occluded - masked_object| "
+                f"= {delta:.4f} (selection is mechanical)")
+
+    _row(report, "p2g_clip_input_divergence", _run)
+
+
 def check_rmbg(report, path, cfg=None):
     def _convert():
         import torch
@@ -729,6 +819,15 @@ def main(argv=None) -> int:
             fn(report, path, cfg=tc.get(cfg_key))
         else:
             report.add(f"{attr}_convert", "SKIP", f"--{attr} not given")
+
+    if args.pix2gestalt and not args.skip_forward:
+        from ..heuristics.mask_heuristics import Pix2GestaltConfig
+        check_p2g_clip_divergence(report, args.pix2gestalt,
+                                  tc.get("p2g") or Pix2GestaltConfig())
+    else:
+        report.add("p2g_clip_input_divergence", "SKIP",
+                   "--pix2gestalt not given" if not args.pix2gestalt
+                   else "--skip_forward")
 
     if tmpdir is not None:
         tmpdir.cleanup()
