@@ -47,14 +47,23 @@ __all__ = ["quantize_linear_int8", "quantize_vit_trunk_int8",
 ACT_SIGMA = 6.0
 
 
-def quantize_linear_int8(p: dict, act_scale: jax.Array | None) -> dict:
+def quantize_linear_int8(p: dict, act_scale: jax.Array | None,
+                         layer_mask: jax.Array | None = None) -> dict:
     """Per-output-channel weight quant of a linear {'w': [..., in, out]}.
 
     Works on scan-stacked weights ([L, in, out]): scales are computed
     per (layer, out) pair. `act_scale` is the static input scale —
     scalar or [L] for stacked params — or None for DYNAMIC per-tensor
     activation quantization at run time (one amax pass per call; no
-    calibration needed — the diffusion serving path uses this)."""
+    calibration needed — the diffusion serving path uses this).
+
+    `layer_mask` ([L] bool, stacked params only): PER-LAYER mixed
+    precision — the tree keeps the original weight alongside the int8
+    payload plus a `use_q` flag, and `int8_linear` dispatches per layer
+    with `lax.cond` inside the scan (only the selected weight is read
+    from HBM per layer). This is the greedy gate-walk knob: quantize
+    layers in ascending measured-sensitivity order and stop at the
+    quality gate (scripts/int8_layer_walk.py)."""
     w = jnp.asarray(p["w"], jnp.float32)
     s_w = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0  # [..., 1, out]
     s_w = jnp.maximum(s_w, 1e-12)
@@ -66,6 +75,13 @@ def quantize_linear_int8(p: dict, act_scale: jax.Array | None) -> dict:
         out["b"] = p["b"]
     if "smooth" in p:  # SmoothQuant pre-multiplier (smoothquant_vit_trunk)
         out["smooth"] = p["smooth"]
+    if layer_mask is not None:
+        mask = jnp.asarray(layer_mask, jnp.bool_)
+        if mask.ndim != 1 or mask.shape[0] != p["w"].shape[0]:
+            raise ValueError(f"layer_mask {mask.shape} does not match "
+                             f"stacked weight {p['w'].shape}")
+        out["use_q"] = mask
+        out["w_orig"] = p["w"]
     return out
 
 
@@ -76,7 +92,26 @@ def int8_linear(p: dict, x: jax.Array) -> jax.Array:
     p['act_scale']: scalar (absent -> dynamic per-tensor amax). For
     scan-stacked params the leading layer axis has already been sliced
     off by the scan. `p['smooth']` (SmoothQuant) rescales the input
-    channels before quantization — one fusable VPU multiply."""
+    channels before quantization — one fusable VPU multiply.
+
+    `p['use_q']` (scalar bool after the scan slice): per-layer mixed
+    precision — lax.cond between the int8 path and the original
+    full-precision matmul on `p['w_orig']`; only the taken branch's
+    weight bytes move through HBM."""
+    if "use_q" in p:
+        from .precision import dot_precision
+
+        def _hp(x):
+            if "smooth" in p:  # w_orig rows carry the migration scale s —
+                x = x * p["smooth"].astype(x.dtype)  # input must carry 1/s
+            y = jnp.dot(x, p["w_orig"].astype(x.dtype),
+                        precision=dot_precision(x.dtype))
+            if "b" in p:
+                y = y + p["b"].astype(x.dtype)
+            return y
+
+        q = {k: v for k, v in p.items() if k not in ("use_q", "w_orig")}
+        return jax.lax.cond(p["use_q"], lambda x: int8_linear(q, x), _hp, x)
     if "smooth" in p:
         x = x * p["smooth"].astype(x.dtype)
     if "act_scale" in p:
@@ -258,7 +293,8 @@ def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA,
                             margin: float = 1.0,
                             dynamic: bool = False,
                             families: tuple = FAMILIES,
-                            smooth_alpha: float | None = None) -> dict:
+                            smooth_alpha: float | None = None,
+                            layer_mask=None) -> dict:
     """Quantize the matmuls of a dinov2 param tree (returns a new tree;
     everything else is shared).
 
@@ -282,7 +318,13 @@ def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA,
     "ffn1", "ffn2") — the knob for the gate-walk that degrades the chain
     to its best quality-PASSing subset. `smooth_alpha` applies
     SmoothQuant outlier migration to proj/ffn2 first (needs the
-    per-channel stats in `act_stats`)."""
+    per-channel stats in `act_stats`). `layer_mask` ([depth] bool)
+    restricts quantization to the selected LAYERS (per-layer lax.cond
+    dispatch, see `quantize_linear_int8`) — the finer gate-walk axis;
+    incompatible with `smooth_alpha` (migrated weight rows would leak
+    into the unquantized layers' math)."""
+    if layer_mask is not None and smooth_alpha is not None:
+        raise ValueError("layer_mask and smooth_alpha are incompatible")
     if smooth_alpha is not None:
         if act_stats is None or "proj_in_ch" not in act_stats:
             raise ValueError("smooth_alpha needs per-channel act_stats "
@@ -306,18 +348,18 @@ def quantize_vit_trunk_int8(params: dict, *, sigma: float = ACT_SIGMA,
                   if act_stats else False)
     attn = dict(blocks["attn"])
     if "qkv" in families:
-        attn["qkv"] = quantize_linear_int8(attn["qkv"], s_qkv)
+        attn["qkv"] = quantize_linear_int8(attn["qkv"], s_qkv, layer_mask)
     if "proj" in families and s_proj is not False:
-        attn["proj"] = quantize_linear_int8(attn["proj"], s_proj)
+        attn["proj"] = quantize_linear_int8(attn["proj"], s_proj, layer_mask)
     blocks["attn"] = attn
 
     mlp = dict(blocks["mlp"])
     if "ffn1" in families:
         first = "fc1" if "fc1" in mlp else "w12"
-        mlp[first] = quantize_linear_int8(mlp[first], s_ffn)
+        mlp[first] = quantize_linear_int8(mlp[first], s_ffn, layer_mask)
     if "ffn2" in families and s_last is not False:
         last = "fc2" if "fc2" in mlp else "w3"
-        mlp[last] = quantize_linear_int8(mlp[last], s_last)
+        mlp[last] = quantize_linear_int8(mlp[last], s_last, layer_mask)
     blocks["mlp"] = mlp
 
     backbone["blocks"] = blocks

@@ -169,7 +169,9 @@ class AmodalDepthPipeline:
                       margin: float = 1.25, dynamic: bool = False,
                       smooth_alpha: float | None = None,
                       families: tuple | None = None,
-                      mixed: bool = False) -> None:
+                      mixed: bool = False,
+                      base_layer_mask=None,
+                      amodal_layer_mask=None) -> None:
         """Opt-in W8A8 int8 serving for the frozen models (ops/quant.py).
 
         Without `calibration`: calibration-free LN-bound scales on the
@@ -193,7 +195,11 @@ class AmodalDepthPipeline:
         migration on the data-fed matmuls before quantizing (the knob
         that attacks the calib chain's quality-gate failure).
         `families` restricts which trunk matmul families quantize —
-        see ops.quant.FAMILIES (the gate-walk degradation knob)."""
+        see ops.quant.FAMILIES (the gate-walk degradation knob).
+        `base_layer_mask` / `amodal_layer_mask` ([depth] bool) restrict
+        quantization to the selected trunk LAYERS (per-layer lax.cond
+        dispatch — the finer gate-walk axis; scripts/int8_layer_walk.py
+        finds the best gate-passing subset greedily)."""
         from ..ops.quant import (FAMILIES, calibrate_amodal_dav2,
                                  calibrate_dav2_head,
                                  quantize_diffusion_int8,
@@ -209,8 +215,8 @@ class AmodalDepthPipeline:
             if calibration is not None:
                 raise ValueError("dynamic=True needs no calibration")
 
-            def q(p):
-                p = quantize_vit_trunk_int8(p, dynamic=True)
+            def q(p, lm):
+                p = quantize_vit_trunk_int8(p, dynamic=True, layer_mask=lm)
                 if head:
                     p = dict(p)
                     p["depth_head"] = jax.jit(functools.partial(
@@ -220,9 +226,10 @@ class AmodalDepthPipeline:
                 return p
 
             if base:
-                self.params_raw = q(self.params_raw)
+                self.params_raw = q(self.params_raw, base_layer_mask)
             if amodal:
-                self.params_amodal = q(self.params_amodal)
+                self.params_amodal = q(self.params_amodal,
+                                       amodal_layer_mask)
             return
 
         if head and calibration is None:
@@ -266,7 +273,7 @@ class AmodalDepthPipeline:
                     calibrate_amodal_dav2, cfg=self.amodal_cfg,
                     attn_impl=self.attn_impl, **amodal_guides))(
                         self.params_amodal, x=resize_nearest(img01, size=size))
-        def _quantize_trunk(p, stats):
+        def _quantize_trunk(p, stats, lm):
             if mixed:
                 # LN-bound (outlier-clipping, gate-passing) scales on the
                 # LN-fed families; calibrated(+smooth) scales only where
@@ -275,21 +282,25 @@ class AmodalDepthPipeline:
                     raise ValueError("mixed=True requires calibration")
                 p = quantize_vit_trunk_int8(
                     p, act_stats=stats, margin=margin,
-                    smooth_alpha=smooth_alpha,
+                    smooth_alpha=smooth_alpha, layer_mask=lm,
                     families=tuple(f for f in ("proj", "ffn2")
                                    if f in families))
                 return quantize_vit_trunk_int8(
-                    p, families=tuple(f for f in ("qkv", "ffn1")
+                    p, layer_mask=lm,
+                    families=tuple(f for f in ("qkv", "ffn1")
                                       if f in families))
             return quantize_vit_trunk_int8(
                 p, act_stats=stats, margin=margin,
-                families=families, smooth_alpha=smooth_alpha)
+                families=families, smooth_alpha=smooth_alpha,
+                layer_mask=lm)
 
         if base:
-            self.params_raw = _quantize_trunk(self.params_raw, stats_raw)
+            self.params_raw = _quantize_trunk(self.params_raw, stats_raw,
+                                              base_layer_mask)
         if amodal:
             self.params_amodal = _quantize_trunk(self.params_amodal,
-                                                 stats_amodal)
+                                                 stats_amodal,
+                                                 amodal_layer_mask)
         if head:
             # head calibration runs on the already-quantized trunks so the
             # recorded ranges match serving conditions (jitted, same reason

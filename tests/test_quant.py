@@ -580,3 +580,96 @@ def test_pipeline_mixed_scale_quantization(rng):
                               attn_impl="xla")
     with pytest.raises(ValueError):
         bad.quantize_int8(base=True, mixed=True)
+
+
+def test_quantize_layer_mask(rng):
+    """Per-layer mixed precision (`layer_mask`): the stacked tree carries
+    int8 + original weights and a per-layer `use_q` flag; `int8_linear`
+    cond-dispatches inside the scan. Masked-out layers are BIT-exact vs
+    the unquantized trunk; an all-True mask matches full quantization."""
+    import pytest
+
+    from amodal_depth_anything_tpu.models.dinov2 import (
+        ViTConfig, dinov2_intermediate_layers, init_dinov2)
+
+    cfg = ViTConfig.preset("vitt")
+    params = {"backbone": init_dinov2(jax.random.PRNGKey(0), cfg)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 56, 56, 3))
+
+    def taps(p):
+        # compare at the DPT taps (random-weight ReLU heads go dead, so
+        # head-level deltas are vacuously zero)
+        outs = dinov2_intermediate_layers(p["backbone"], cfg, x, None,
+                                          (0, 1, 2, 3), attn_impl="xla")
+        return np.stack([np.asarray(t) for t, _ in outs])
+
+    exact = taps(params)
+    full = taps(quantize_vit_trunk_int8(params))
+
+    m_none = taps(quantize_vit_trunk_int8(
+        params, layer_mask=np.zeros(4, bool)))
+    np.testing.assert_array_equal(m_none, exact)
+
+    m_all = taps(quantize_vit_trunk_int8(
+        params, layer_mask=np.ones(4, bool)))
+    np.testing.assert_array_equal(m_all, full)
+
+    mask = np.array([True, False, True, False])
+    m_half = taps(quantize_vit_trunk_int8(params, layer_mask=mask))
+    assert np.abs(m_half - exact).max() > 0  # something quantized
+    assert np.abs(m_half - exact).max() <= np.abs(full - exact).max() * 2
+
+    # calibrated + mask and dynamic + mask both dispatch fine
+    stats = collect_trunk_act_stats(
+        params, cfg, jnp.asarray(
+            rng.random((1, 56, 56, 3), dtype=np.float32)))
+    m_cal = taps(quantize_vit_trunk_int8(
+        params, act_stats=stats, layer_mask=mask))
+    assert np.isfinite(m_cal).all()
+    m_dyn = taps(quantize_vit_trunk_int8(
+        params, dynamic=True, layer_mask=mask))
+    assert np.isfinite(m_dyn).all()
+
+    # wrong mask length and smooth+mask combos fail loudly
+    with pytest.raises(ValueError):
+        quantize_vit_trunk_int8(params, layer_mask=np.ones(3, bool))
+    with pytest.raises(ValueError):
+        quantize_vit_trunk_int8(params, act_stats=stats, smooth_alpha=0.5,
+                                layer_mask=mask)
+
+
+def test_pipeline_layer_mask_plumbing(rng):
+    """AmodalDepthPipeline.quantize_int8(base_layer_mask=...) restricts
+    the base trunk only; masked pipeline output sits between exact and
+    fully-quantized."""
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, init_amodal_dav2)
+    from amodal_depth_anything_tpu.pipeline.amodal_pipeline import (
+        AmodalDepthPipeline)
+
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    amodal_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    p_raw = init_amodal_dav2(jax.random.PRNGKey(0), raw_cfg)
+    p_am = init_amodal_dav2(jax.random.PRNGKey(1), amodal_cfg)
+    img = (rng.random((64, 72, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((64, 72), np.float32)
+    mask[10:40, 20:60] = 1.0
+
+    ref = AmodalDepthPipeline(p_raw, raw_cfg, p_am, amodal_cfg, size=56,
+                              attn_impl="xla")
+    _, blend_ref = ref(img, mask)
+
+    q = AmodalDepthPipeline(p_raw, raw_cfg, p_am, amodal_cfg, size=56,
+                            attn_impl="xla")
+    q.quantize_int8(base=True, amodal=True,
+                    base_layer_mask=np.array([True, True, False, False]),
+                    amodal_layer_mask=np.zeros(4, bool))
+    qkv = q.params_raw["backbone"]["blocks"]["attn"]["qkv"]
+    assert qkv["w"].dtype == jnp.int8 and "use_q" in qkv
+    # amodal mask all-False -> pipeline must still run; the delta stays
+    # bounded (random-weight heads can deaden it to zero, so no lower
+    # bound here — the trunk-level lower bound lives in
+    # test_quantize_layer_mask)
+    _, blend_q = q(img, mask)
+    assert np.isfinite(blend_q).all()
+    assert np.abs(blend_q - blend_ref).max() < 0.5
