@@ -664,13 +664,35 @@ def main():
 
         int8_dynamic = os.environ.get("AMODAL_INT8_DYNAMIC", "") == "1"
 
-        def quantize(p, cfg, **guides):
+        # AMODAL_INT8_LAYERS_BASE / _AMODAL: per-layer subset spec like
+        # "0-8,12,20-39" — quantize only those trunk layers (per-layer
+        # lax.cond dispatch, ops/quant.py layer_mask; the greedy
+        # sensitivity-walk knob, scripts/int8_layer_walk.py)
+        def _layer_mask(env_key, depth):
+            import numpy as np
+            spec = os.environ.get(env_key, "")
+            if not spec:
+                return None
+            m = np.zeros(depth, bool)
+            for part in spec.split(","):
+                if "-" in part:
+                    a, b = part.split("-")
+                    m[int(a):int(b) + 1] = True
+                else:
+                    m[int(part)] = True
+            return m
+
+        lm_base = _layer_mask("AMODAL_INT8_LAYERS_BASE", raw_cfg.vit.depth)
+        lm_amodal = _layer_mask("AMODAL_INT8_LAYERS_AMODAL",
+                                amodal_cfg.vit.depth)
+
+        def quantize(p, cfg, lm=None, **guides):
             if int8_dynamic:
                 # all four matmul families + head convs with RUN-time
                 # per-tensor amax — full coverage, zero calibration
                 # programs (the calibrated path costs ~65 min of tunnel
                 # compiles)
-                p = quantize_vit_trunk_int8(p, dynamic=True)
+                p = quantize_vit_trunk_int8(p, dynamic=True, layer_mask=lm)
                 if int8_head:
                     from amodal_depth_anything_tpu.ops.quant import \
                         quantize_diffusion_int8
@@ -681,7 +703,7 @@ def main():
                             p["depth_head"])
                 return p
             if not int8_calib:
-                return quantize_vit_trunk_int8(p)
+                return quantize_vit_trunk_int8(p, layer_mask=lm)
             stats = jax.jit(
                 lambda p_, x_: calibrate_amodal_dav2(p_, cfg, x_, **guides)
             )(p, rgb01)
@@ -707,14 +729,14 @@ def main():
                 p = quantize_vit_trunk_int8(
                     p, act_stats=stats, margin=margin, smooth_alpha=smooth,
                     families=tuple(f for f in ("proj", "ffn2")
-                                   if f in families))
+                                   if f in families), layer_mask=lm)
                 p = quantize_vit_trunk_int8(
                     p, families=tuple(f for f in ("qkv", "ffn1")
-                                      if f in families))
+                                      if f in families), layer_mask=lm)
             else:
                 p = quantize_vit_trunk_int8(
                     p, act_stats=stats, margin=margin,
-                    smooth_alpha=smooth, families=families)
+                    smooth_alpha=smooth, families=families, layer_mask=lm)
             if int8_head:
                 # int8 head convs too (3.4x conv rate on v5e); calibrated
                 # on the same batch
@@ -744,11 +766,11 @@ def main():
             hi = jnp.max(base_d, axis=(-1, -2), keepdims=True)
             obs = ((base_d - lo) / jnp.maximum(hi - lo, 1e-8))[..., None]
         if int8_base:
-            p_raw = quantize(p_raw, raw_cfg)
+            p_raw = quantize(p_raw, raw_cfg, lm=lm_base)
         if int8_amodal:
             n_cal = rgb01.shape[0]
             p_amodal = quantize(
-                p_amodal, amodal_cfg,
+                p_amodal, amodal_cfg, lm=lm_amodal,
                 guide_mask=mask[:n_cal] * 2.0 - 1.0,
                 observation=obs[:n_cal] * 2.0 - 1.0)
         # calibration chain wall time (compiles + calibration forwards):
@@ -855,6 +877,12 @@ def main():
         (f" fam={_fam}" if _fam and int8_calib else "") + \
         (f" margin={_mg}" if _mg and int8_calib else "") + \
         (" mixed-scales" if _mx and int8_calib else "") + \
+        (f" layers-base={os.environ['AMODAL_INT8_LAYERS_BASE']}"
+         if os.environ.get("AMODAL_INT8_LAYERS_BASE") and int8_base
+         else "") + \
+        (f" layers-amodal={os.environ['AMODAL_INT8_LAYERS_AMODAL']}"
+         if os.environ.get("AMODAL_INT8_LAYERS_AMODAL") and int8_amodal
+         else "") + \
         (f" tome-base={tome_env}" if base_tm else "") + \
         (f" tome-amodal={tome_am_env}" if amodal_tm else "") + \
         (f" head-tile={head_tile}" if head_tile else "")
