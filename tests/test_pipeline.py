@@ -381,3 +381,41 @@ def test_pipeline_tome_knobs_and_serving_persistence(rng, tmp_path):
     base2, blend2 = loaded(img, mask)
     np.testing.assert_array_equal(base2, base)
     np.testing.assert_array_equal(blend2, blend)
+
+
+def test_serving_roundtrip_with_layer_masks(rng, tmp_path):
+    """Per-layer mixed-precision trees (use_q bool + w_orig leaves,
+    ops/quant.py layer_mask) persist through save_serving/load_serving
+    bit-exactly."""
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.models.amodal_dav2 import (
+        DAV2Config, init_amodal_dav2)
+    from amodal_depth_anything_tpu.pipeline.amodal_pipeline import (
+        AmodalDepthPipeline)
+
+    raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
+    am_cfg = DAV2Config(encoder="vitt", guide_type="mask+observation")
+    p_raw = init_amodal_dav2(jax.random.PRNGKey(0), raw_cfg)
+    p_am = init_amodal_dav2(jax.random.PRNGKey(1), am_cfg)
+    img = (rng.random((64, 72, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((64, 72), np.float32)
+    mask[10:40, 20:60] = 1.0
+
+    pipe = AmodalDepthPipeline(p_raw, raw_cfg, p_am, am_cfg, size=56,
+                               attn_impl="xla")
+    pipe.quantize_int8(
+        base=True, amodal=True, head=True, calibration=(img, mask),
+        base_layer_mask=np.array([True, False, True, False]),
+        amodal_layer_mask=np.array([False, True, False, True]))
+    _, blended = pipe(img, mask)
+
+    path = str(tmp_path / "sc")
+    pipe.save_serving(path)
+    pipe2 = AmodalDepthPipeline.load_serving(path)
+    q = pipe2.params_raw["backbone"]["blocks"]["attn"]["qkv"]
+    assert "use_q" in q and q["use_q"].dtype == jnp.bool_
+    assert "w_orig" in q
+    _, blended2 = pipe2(img, mask)
+    np.testing.assert_array_equal(np.asarray(blended),
+                                  np.asarray(blended2))
