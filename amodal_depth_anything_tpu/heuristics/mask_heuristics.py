@@ -354,7 +354,8 @@ class MaskHeuristics:
 
         return run
 
-    def quantize_p2g_int8(self, *, weight_only: bool = True) -> None:
+    def quantize_p2g_int8(self, *, weight_only: bool = True,
+                          bits: int = 8) -> None:
         """Opt-in int8 for the pix2gestalt UNet (parity-breaking serving
         knob, same ladder policy as the trunk/DepthFM int8 paths).
 
@@ -365,12 +366,15 @@ class MaskHeuristics:
         int8 weights dequantized on the fly — halves the bytes the loop
         is bound on, no activation-quant error, no per-site amax
         reductions. `weight_only=False` is dynamic W8A8 (int8 MXU rate,
-        adds amax reductions per site per step). Stacks with
-        `ddim_deep_cache`."""
+        adds amax reductions per site per step). `bits=4` (weight-only):
+        nibble-packed int4 weights — half of W8's bytes on the same
+        read-bound loop, larger per-weight quant error (per-group scales,
+        gate with the quality proxy). Stacks with `ddim_deep_cache`."""
         from ..ops.quant import quantize_diffusion_int8
         self.p2g_params = dict(self.p2g_params)
         self.p2g_params["unet"] = jax.jit(
-            lambda t: quantize_diffusion_int8(t, weight_only=weight_only)
+            lambda t: quantize_diffusion_int8(t, weight_only=weight_only,
+                                              bits=bits)
         )(self.p2g_params["unet"])
         self.__dict__.pop("_p2g_jit", None)  # rebuild the cached program
 

@@ -38,6 +38,9 @@ def linear_init(key, d_in: int, d_out: int, *, std: float = 0.02) -> dict:
 
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
+    if "w4" in p:  # opt-in weight-only int4 serving path (ops/quant.py)
+        from ..ops.quant import w4_linear
+        return w4_linear(p, x)
     if "w8" in p:  # opt-in weight-only int8 serving path (ops/quant.py)
         from ..ops.quant import w8_linear
         return w8_linear(p, x)

@@ -240,6 +240,9 @@ def group_norm(p, x, groups: int = 32, eps: float = 1e-5):
 
 
 def _lin(p, x):
+    if "w4" in p:  # weight-only int4 serving (ops/quant.py)
+        from ..ops.quant import w4_linear
+        return w4_linear(p, x)
     if "w8" in p:  # weight-only int8 serving (ops/quant.py)
         from ..ops.quant import w8_linear
         return w8_linear(p, x)
@@ -383,7 +386,8 @@ def _apply_layers(params, layers, x, emb, context_ca, cfg, attn_impl,
         elif kind == "up":
             # weight-only 'w8' trees keep the fused path (it dequantizes
             # before the fold); W8A8 must unfuse (int8 conv can't fold)
-            if "w8" not in p and p["w"].dtype == jnp.int8:
+            if "w8" not in p and "w4" not in p \
+                    and p["w"].dtype == jnp.int8:
                 x = resize_nearest(x, scale_factor=2.0)
                 x = conv2d(p, x, padding=1)
             else:

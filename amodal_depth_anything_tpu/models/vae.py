@@ -134,6 +134,9 @@ def init_vae(key, cfg: VAEConfig = SD_VAE) -> dict:
 
 
 def _lin(p, x):
+    if "w4" in p:  # weight-only int4 serving (ops/quant.py)
+        from ..ops.quant import w4_linear
+        return w4_linear(p, x)
     if "w8" in p:  # weight-only int8 serving (ops/quant.py)
         from ..ops.quant import w8_linear
         return w8_linear(p, x)
@@ -216,7 +219,8 @@ def vae_decode(params: dict, z: jax.Array,
             # weight-only 'w8' trees keep the fused path (dequant precedes
             # the fold); W8A8 must unfuse (int8 conv can't fold)
             up = blk["upsampler"]
-            if "w8" not in up and up["w"].dtype == jnp.int8:
+            if "w8" not in up and "w4" not in up \
+                    and up["w"].dtype == jnp.int8:
                 h = resize_nearest(h, scale_factor=2.0)
                 h = conv2d(up, h, padding=1)
             else:

@@ -42,6 +42,9 @@ def conv2d(p: dict, x: jax.Array, *, stride: int = 1, padding="SAME") -> jax.Arr
     ops/quant.py::quantize_conv_int8) — v5e runs int8 convs at up to
     3.4x the bf16 rate at DPT-head shapes — and to the weight-only
     dequant path for 'w8' trees (quantize_conv_w8)."""
+    if "w4" in p:
+        from .quant import w4_conv2d
+        return w4_conv2d(p, x, stride=stride, padding=padding)
     if "w8" in p:
         from .quant import w8_conv2d
         return w8_conv2d(p, x, stride=stride, padding=padding)
@@ -82,7 +85,10 @@ def fused_upsample2x_conv(p: dict, x: jax.Array) -> jax.Array:
     cast-to-x.dtype, so it matches the unfused op up to one rounding of
     the folded weight (exact at f32/HIGHEST parity settings).
     """
-    if "w8" in p:  # weight-only int8: dequant then fold (fold is f32 anyway)
+    if "w4" in p:  # weight-only int4: dequant then fold (fold is f32 anyway)
+        from .quant import w4_weight
+        w = w4_weight(p, jnp.float32)  # [3,3,C,Cout]
+    elif "w8" in p:  # weight-only int8: dequant then fold (fold is f32 anyway)
         from .quant import w8_weight
         w = w8_weight(p, jnp.float32)  # [3,3,C,Cout]
     else:

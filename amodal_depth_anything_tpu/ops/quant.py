@@ -41,6 +41,8 @@ __all__ = ["quantize_linear_int8", "quantize_vit_trunk_int8",
            "merge_act_stats", "int8_linear", "int8_conv2d",
            "quantize_linear_w8", "quantize_conv_w8", "w8_weight",
            "w8_linear", "w8_conv2d",
+           "quantize_linear_w4", "quantize_conv_w4", "w4_weight",
+           "w4_linear", "w4_conv2d", "W4_GROUP",
            "quantize_conv_int8", "collect_dpt_head_act_stats",
            "quantize_dpt_head_int8", "calibrate_dav2_head", "ACT_SIGMA"]
 
@@ -480,6 +482,127 @@ def w8_conv2d(p: dict, x: jax.Array, *, stride: int = 1,
     return y
 
 
+# ------------------------------------------------- weight-only int4 (W4)
+#
+# For PARAM-READ-BOUND loops the byte count IS the bottleneck (the
+# pix2gestalt 100-step DDIM re-reads ~860M UNet params per step; W8
+# measured 4.1 -> 3.45 s/completion). W4 halves the weight bytes again.
+# jnp.int4 exists on this stack but is NOT bit-packed in memory (an
+# int4 array occupies 1 byte/element — verified), so packing is done
+# manually: two int4 values per int8 byte along the input axis,
+# unpacked in-graph with two arithmetic shifts (elementwise VPU work
+# XLA fuses into the consumer; HBM sees only the packed bytes).
+# Accuracy is kept with per-(input-group, output-channel) scales
+# (group=64 default) instead of W8's per-output-channel only.
+
+W4_GROUP = 64
+
+
+def _pack_nibbles(w_q: jax.Array, axis: int) -> jax.Array:
+    """Pack int8 values in [-8, 7] pairwise along `axis` (must be even).
+
+    low nibble = even index, high nibble = odd index."""
+    lo, hi = jnp.moveaxis(w_q, axis, 0)[0::2], \
+        jnp.moveaxis(w_q, axis, 0)[1::2]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return jnp.moveaxis(packed, 0, axis)
+
+
+def _unpack_nibbles(packed: jax.Array, axis: int) -> jax.Array:
+    """Inverse of `_pack_nibbles`: int8 [.., n/2, ..] -> int8 [.., n, ..]
+    with sign extension (arithmetic shifts on int8)."""
+    p = jnp.moveaxis(packed, axis, 0)
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)  # sign-extend low nibble
+    hi = jnp.right_shift(p, 4)                     # arithmetic -> signed
+    out = jnp.stack([lo, hi], axis=1).reshape((-1,) + p.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _w4_quantize(w: jax.Array, group: int):
+    """w [fan_groups*g, out]-style 2-D view NOT required — works on the
+    raw array with the INPUT axis second-to-last ([..., in, out]).
+    Returns (packed int8 [..., in/2, out], scales f32 [..., in/g, out])."""
+    wf = jnp.asarray(w, jnp.float32)
+    n_in = wf.shape[-2]
+    g = group if n_in % group == 0 else n_in
+    grp = wf.reshape(wf.shape[:-2] + (n_in // g, g, wf.shape[-1]))
+    s = jnp.max(jnp.abs(grp), axis=-2, keepdims=True) / 7.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(grp / s), -8, 7).astype(jnp.int8)
+    q = q.reshape(wf.shape)
+    return _pack_nibbles(q, q.ndim - 2), jnp.squeeze(s, -2), g
+
+
+def quantize_linear_w4(p: dict, *, group: int = W4_GROUP) -> dict:
+    """Weight-only int4 of a linear {'w': [.., in, out]}: nibble-packed
+    int8 storage (half of W8's bytes) + per-(input-group, out) scales."""
+    packed, s, g = _w4_quantize(p["w"], group)
+    out = {"w4": packed, "w4_scale": s, "w4_group": int(g)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_conv_w4(p: dict, *, group: int = W4_GROUP) -> dict:
+    """Weight-only int4 of a conv {'w': [kh,kw,ci,co]}: packed along ci,
+    scales per (ci-group, co) shared across the spatial taps."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    kh, kw, ci, co = w.shape
+    g = group if ci % group == 0 else ci
+    grp = w.reshape(kh, kw, ci // g, g, co)
+    s = jnp.max(jnp.abs(grp), axis=(0, 1, 3), keepdims=True) / 7.0
+    s = jnp.maximum(s, 1e-12)  # [1,1,ci/g,1,co]
+    q = jnp.clip(jnp.round(grp / s), -8, 7).astype(jnp.int8)
+    q = q.reshape(kh, kw, ci, co)
+    out = {"w4": _pack_nibbles(q, 2),
+           "w4_scale": s.reshape(ci // g, co), "w4_group": int(g)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def w4_weight(p: dict, dtype) -> jax.Array:
+    """Dequantized kernel in the compute dtype — unpack + per-group
+    rescale are elementwise producers XLA fuses into the consumer, so
+    HBM traffic is the packed int4 bytes plus the (in/group)-sized
+    scales."""
+    packed, s = p["w4"], p["w4_scale"]
+    q = _unpack_nibbles(packed, packed.ndim - 2)
+    if q.ndim == 4:  # conv [kh,kw,ci,co]; s [ci/g, co]
+        kh, kw, ci, co = q.shape
+        grp = q.reshape(kh, kw, s.shape[0], ci // s.shape[0], co)
+        w = grp.astype(jnp.float32) * s[None, None, :, None, :]
+        return w.reshape(kh, kw, ci, co).astype(dtype)
+    n_in = q.shape[-2]
+    grp = q.reshape(q.shape[:-2] + (s.shape[-2], n_in // s.shape[-2],
+                                    q.shape[-1]))
+    w = grp.astype(jnp.float32) * s[..., :, None, :]
+    return w.reshape(q.shape).astype(dtype)
+
+
+def w4_linear(p: dict, x: jax.Array) -> jax.Array:
+    from .precision import dot_precision
+    y = jnp.dot(x, w4_weight(p, x.dtype), precision=dot_precision(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def w4_conv2d(p: dict, x: jax.Array, *, stride: int = 1,
+              padding="SAME") -> jax.Array:
+    from .precision import dot_precision
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x, w4_weight(p, x.dtype), window_strides=(stride, stride),
+        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=dot_precision(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
 # ----------------------------------------------------------- DPT head int8
 
 def collect_dpt_head_act_stats(params: dict, cfg, features,
@@ -639,7 +762,8 @@ def calibrate_dav2_head(params: dict, cfg, x: jax.Array, *,
 def quantize_diffusion_int8(params: dict, *, min_conv_fan: int = 512,
                             min_lin_dim: int = 256,
                             skip_suffixes: tuple = ("out/conv", "conv_out"),
-                            weight_only: bool = False) -> dict:
+                            weight_only: bool = False,
+                            bits: int = 8) -> dict:
     """W8A8 with DYNAMIC per-tensor activation scales for diffusion trees
     (LDM UNet / SD VAE): walk the pytree and quantize every wide conv
     (kh*kw*cin >= min_conv_fan) and every wide linear (both dims >=
@@ -656,7 +780,16 @@ def quantize_diffusion_int8(params: dict, *, min_conv_fan: int = 512,
 
     `weight_only=True` produces weight-only int8 trees instead
     (`quantize_*_w8`): int8 param storage, full-precision activations and
-    matmuls — the knob for param-read-bound loops (pix2gestalt DDIM)."""
+    matmuls — the knob for param-read-bound loops (pix2gestalt DDIM).
+    `bits=4` (weight-only mode only) halves the weight bytes again:
+    nibble-packed int4 storage with per-(input-group, output) scales
+    (`quantize_*_w4`, group 64) — more quant error than W8 per weight,
+    mitigated by the 64-wide groups; gate with AMODAL_QUALITY."""
+    if bits == 4 and not weight_only:
+        raise ValueError("bits=4 is weight-only (W4A8 has no MXU story "
+                         "beyond int8's)")
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
     def walk(tree, path):
         if not isinstance(tree, dict):
             return tree
@@ -674,12 +807,18 @@ def quantize_diffusion_int8(params: dict, *, min_conv_fan: int = 512,
                 return tree
             if getattr(w, "ndim", 0) == 4 and (
                     w.shape[0] * w.shape[1] * w.shape[2] >= min_conv_fan):
-                return quantize_conv_w8(tree) if weight_only else \
-                    quantize_conv_int8(tree)
+                if not weight_only:
+                    return quantize_conv_int8(tree)
+                if bits == 4 and w.shape[2] % 2 == 0:
+                    return quantize_conv_w4(tree)
+                return quantize_conv_w8(tree)
             if getattr(w, "ndim", 0) == 2 and (
                     w.shape[0] >= min_lin_dim and w.shape[1] >= min_lin_dim):
-                return quantize_linear_w8(tree) if weight_only else \
-                    quantize_linear_int8(tree, None)
+                if not weight_only:
+                    return quantize_linear_int8(tree, None)
+                if bits == 4 and w.shape[0] % 2 == 0:
+                    return quantize_linear_w4(tree)
+                return quantize_linear_w8(tree)
             return tree
         return {k: walk(v, path + (k,)) for k, v in tree.items()}
 

@@ -187,8 +187,10 @@ def bench_depthfm():
         params_exact = params if \
             os.environ.get("AMODAL_QUALITY", "") == "1" else None
         params = jax.jit(lambda t: quantize_diffusion_int8(
-            t, weight_only=(int8_env == "wo")))(params)
-        quant_tag = f" int8={'wo' if int8_env == 'wo' else 'w8a8'}"
+            t, weight_only=(int8_env in ("wo", "w4")),
+            bits=4 if int8_env == "w4" else 8))(params)
+        quant_tag = (" int8=" + ("w4" if int8_env == "w4" else
+                                 "wo" if int8_env == "wo" else "w8a8"))
 
     ims = jax.random.uniform(jax.random.PRNGKey(7), (batch, size, size, 3),
                              dtype, -1.0, 1.0)
@@ -341,8 +343,9 @@ def bench_heuristics():
     mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=ddim_steps,
                                      ddim_deep_cache=dc)
     # AMODAL_INT8_P2G: "1" = weight-only int8 UNet (halves the param
-    # bytes the 100-step DDIM loop is read-bound on), "w8a8" = dynamic
-    # W8A8. Opt-in, parity-breaking — same ladder policy as DeepCache.
+    # bytes the 100-step DDIM loop is read-bound on), "w4" = weight-only
+    # int4 (halves them again, nibble-packed), "w8a8" = dynamic W8A8.
+    # Opt-in, parity-breaking — same ladder policy as DeepCache.
     int8_env = os.environ.get("AMODAL_INT8_P2G", "")
     if os.environ.get("AMODAL_QUALITY", "") == "1":
         mh.p2g_params = dict(mh.p2g_params)
@@ -369,7 +372,8 @@ def bench_heuristics():
         mh.p2g_cfg = saved
         mh.__dict__.pop("_p2g_jit", None)
     if int8_env:
-        mh.quantize_p2g_int8(weight_only=(int8_env != "w8a8"))
+        mh.quantize_p2g_int8(weight_only=(int8_env != "w8a8"),
+                             bits=4 if int8_env == "w4" else 8)
 
     t0 = time.perf_counter()
     completion = mh.pix2gestalt_completion(image, visible)
@@ -399,7 +403,7 @@ def bench_heuristics():
         "metric": f"heuristics completions/sec (SAM vit-h @ {hw}px + "
                   f"pix2gestalt {ddim_steps}-step DDIM"
                   + (f" deepcache={dc_env}" if dc_env else "")
-                  + (f" int8={'wo' if int8_env != 'w8a8' else 'w8a8'}"
+                  + (f" int8={'w4' if int8_env == 'w4' else 'wo' if int8_env != 'w8a8' else 'w8a8'}"
                      if int8_env else "")
                   + f"; first-call compile "
                   f"sam {sam_first_s:.0f}s p2g {p2g_first_s:.0f}s)",

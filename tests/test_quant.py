@@ -673,3 +673,122 @@ def test_pipeline_layer_mask_plumbing(rng):
     _, blend_q = q(img, mask)
     assert np.isfinite(blend_q).all()
     assert np.abs(blend_q - blend_ref).max() < 0.5
+
+
+def test_w4_ops_match_dequantized_reference(rng):
+    """Nibble-packed weight-only int4: pack/unpack round-trips exactly;
+    w4_linear / w4_conv2d / the fused-upsample 'w4' branch equal the
+    plain op on the explicitly dequantized kernel; per-group scales keep
+    the dequant error bounded."""
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.models.layers import linear
+    from amodal_depth_anything_tpu.ops.conv import (conv2d,
+                                                    fused_upsample2x_conv)
+    from amodal_depth_anything_tpu.ops.quant import (_pack_nibbles,
+                                                     _unpack_nibbles,
+                                                     quantize_conv_w4,
+                                                     quantize_linear_w4,
+                                                     w4_weight)
+
+    q = jnp.asarray(rng.integers(-8, 8, (6, 4)), jnp.int8)
+    np.testing.assert_array_equal(
+        np.asarray(_unpack_nibbles(_pack_nibbles(q, 0), 0)), np.asarray(q))
+    q2 = jnp.asarray(rng.integers(-8, 8, (3, 3, 8, 5)), jnp.int8)
+    np.testing.assert_array_equal(
+        np.asarray(_unpack_nibbles(_pack_nibbles(q2, 2), 2)),
+        np.asarray(q2))
+
+    lp = {"w": jnp.asarray(rng.standard_normal((128, 64)), jnp.float32),
+          "b": jnp.asarray(rng.standard_normal((64,)), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((5, 128)), jnp.float32)
+    lq = quantize_linear_w4(lp)
+    assert lq["w4"].shape == (64, 64)  # packed along the input axis
+    ref = x @ w4_weight(lq, jnp.float32) + lp["b"]
+    np.testing.assert_allclose(np.asarray(linear(lq, x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # dequant error bounded by half an int4 step of the group scale
+    wd = np.asarray(w4_weight(lq, jnp.float32))
+    werr = np.abs(wd - np.asarray(lp["w"])).max()
+    assert werr < np.abs(np.asarray(lp["w"])).max() / 7.0, werr
+
+    cp = {"w": jnp.asarray(rng.standard_normal((3, 3, 16, 32)),
+                           jnp.float32),
+          "b": jnp.asarray(rng.standard_normal((32,)), jnp.float32)}
+    xc = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    cq = quantize_conv_w4(cp)
+    assert cq["w4"].shape == (3, 3, 8, 32)
+    ref_c = conv2d({"w": w4_weight(cq, jnp.float32), "b": cp["b"]}, xc,
+                   padding=1)
+    np.testing.assert_allclose(np.asarray(conv2d(cq, xc, padding=1)),
+                               np.asarray(ref_c), rtol=1e-5, atol=1e-5)
+
+    fused_q = np.asarray(fused_upsample2x_conv(cq, xc))
+    fused_ref = np.asarray(fused_upsample2x_conv(
+        {"w": w4_weight(cq, jnp.float32), "b": cp["b"]}, xc))
+    np.testing.assert_allclose(fused_q, fused_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_diffusion_w4(rng):
+    """bits=4 weight-only over a diffusion tree: wide sites pack to half
+    the int8 bytes, skip rules still apply, the generate forward stays
+    close to f32; bits=4 without weight_only raises."""
+    import pytest
+
+    import jax
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.models.depthfm import (
+        DepthFMConfig, depthfm_generate, init_depthfm)
+    from amodal_depth_anything_tpu.ops.quant import quantize_diffusion_int8
+
+    cfg = DepthFMConfig(guide_type="mask+observation", model_channels=64,
+                        channel_mult=(1, 2), num_heads=2, context_dim=64,
+                        vae_channels=(32, 64), vae_layers=1)
+    params = jax.jit(lambda k: init_depthfm(k, cfg))(jax.random.PRNGKey(0))
+    q = quantize_diffusion_int8(params, min_conv_fan=128, min_lin_dim=48,
+                                weight_only=True, bits=4)
+
+    blk = q["unet"]["input_blocks"]["1"]["0"]["conv1"]
+    assert "w" not in blk and blk["w4"].dtype == jnp.int8
+    w_orig = params["unet"]["input_blocks"]["1"]["0"]["conv1"]["w"]
+    assert blk["w4"].size == w_orig.size // 2  # nibble-packed
+    assert q["unet"]["out"]["conv"]["w"].dtype != jnp.int8  # skipped
+    up = q["vae"]["decoder"]["up_blocks"]["0"]["upsampler"]
+    assert "w4" not in up and "w8" not in up
+
+    ims = jnp.asarray(rng.random((1, 32, 32, 3)) * 2 - 1, jnp.float32)
+    mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+    obs = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    ref = np.asarray(depthfm_generate(params, cfg, jax.random.PRNGKey(1),
+                                      ims, num_steps=2, guide_mask=mask,
+                                      observation=obs, attn_impl="xla"))
+    got = np.asarray(depthfm_generate(q, cfg, jax.random.PRNGKey(1),
+                                      ims, num_steps=2, guide_mask=mask,
+                                      observation=obs, attn_impl="xla"))
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).mean() < 0.08, np.abs(got - ref).mean()
+
+    with pytest.raises(ValueError):
+        quantize_diffusion_int8(params, weight_only=False, bits=4)
+
+
+def test_heuristics_p2g_w4_knob(rng):
+    """quantize_p2g_int8(bits=4): the int4 UNet completion stays finite
+    and close to exact."""
+    import dataclasses
+
+    import jax
+
+    from amodal_depth_anything_tpu.heuristics.mask_heuristics import \
+        MaskHeuristics
+
+    mh = MaskHeuristics.init_random(jax.random.PRNGKey(0), tiny=True)
+    mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=2)
+    image = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    visible = (rng.random((64, 64)) > 0.5)
+    exact = mh.pix2gestalt_completion(image, visible)
+    mh.quantize_p2g_int8(weight_only=True, bits=4)
+    got = mh.pix2gestalt_completion(image, visible)
+    assert np.isfinite(got).all()
+    assert np.abs(got - exact).mean() < 0.15, np.abs(got - exact).mean()
