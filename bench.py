@@ -93,7 +93,10 @@ if (os.environ.get("AMODAL_TPU_CACHE", "") == "1"
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "benchmarks", ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # 2 s (not the 10 s default): the warm-start breakdown shows param-
+    # INIT programs (many, individually small-ish) dominate first-pixel
+    # wall — persist them too, not just the big forward programs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 A100_PYTORCH_EST_IMG_PER_SEC = 4.3
 # DepthFM anchor: SD-1.5-size UNet x4 steps + VAE encode/decode at 512px
@@ -330,8 +333,14 @@ def bench_heuristics():
     on_tpu = jax.devices()[0].platform == "tpu"
     ddim_steps = int(os.environ.get("AMODAL_BENCH_DDIM", 100 if on_tpu
                                     else 2))
+    # startup breakdown for the warm-start hunt (VERDICT r3 #5): where
+    # the first-pixel wall goes — import/backend, param init, the two
+    # compiles, the first completion
+    import_s = round(time.perf_counter() - _BENCH_T0, 1)
+    _t = time.perf_counter()
     mh = MaskHeuristics.init_random(jax.random.PRNGKey(0),
                                     tiny=not on_tpu)
+    init_s = round(time.perf_counter() - _t, 1)
     import dataclasses
     dc_env = os.environ.get("AMODAL_DEEPCACHE_P2G", "")
     # "interval" or "interval,groups": DeepCache over the DDIM steps
@@ -411,6 +420,10 @@ def bench_heuristics():
         "unit": "completions/sec/chip",
         "vs_baseline": round(p50, 3),  # p50 seconds per completion
         "first_pixel_s": round(first_pixel_s, 1),
+        "startup_breakdown_s": {
+            "import": import_s, "param_init": init_s,
+            "sam_first": round(sam_first_s, 1),
+            "p2g_first": round(p2g_first_s, 1)},
         **({"quality_delta": quality} if quality else {}),
         **({"quality_gate": __import__(
             "amodal_depth_anything_tpu.pipeline.quality",
