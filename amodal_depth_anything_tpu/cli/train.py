@@ -204,7 +204,11 @@ def main(argv=None) -> None:
                          project=wcfg.get("project") if wcfg else None,
                          name=ts, config=cfg.to_dict() if wcfg else None,
                          **resume_kw)
-        if run is not None and not resume_kw:
+        if run is not None:
+            # persist the id into THIS run_dir unconditionally: a resumed
+            # run must also carry it so a second-generation --resume_run
+            # (pointing at this run's checkpoints) re-attaches instead of
+            # silently forking a new wandb run
             save_wandb_job_id(run, run_dir)
 
     from ..parallel import MeshConfig

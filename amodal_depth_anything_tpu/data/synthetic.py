@@ -112,11 +112,20 @@ def make_synthetic_sam_tree(root: str, n: int = 4, hw: int = 64,
         lines = []
         for i in range(n):
             # resample until the target is partially (not fully) occluded
-            for _ in range(20):
+            for attempt in range(100):
                 (rgb_f, whole_f, sdep, adep, wm, vm,
                  frac) = _render_scene(rng, hw)
                 if 0.05 < frac < 0.95 and vm.sum() > 4:
                     break
+            else:
+                # never fall through silently: a degenerate sample (fully
+                # occluded / unoccluded target) would poison the proxy
+                # corpus and fail the geometric-consistency tests
+                # seed-dependently
+                raise RuntimeError(
+                    f"scenes sample {i}: no valid occlusion after "
+                    f"{attempt + 1} renders (last frac={frac:.3f}, "
+                    f"visible px={int(vm.sum())})")
             rgb = (np.clip(rgb_f, 0, 1) * 255).astype(np.uint8)
             whole_rgb = (np.clip(whole_f, 0, 1) * 255).astype(np.uint8)
             stem = f"{i:04d}"

@@ -290,6 +290,14 @@ class MaskHeuristics:
             else:
                 cond_latent = img_latent
                 default_clip = "masked_object"
+            if p2g_cfg.clip_input not in ("auto", "occluded",
+                                          "masked_object"):
+                # fail loudly: a typo'd value would silently fall through
+                # to masked_object and defeat the checkpoint-day A/B this
+                # knob exists for
+                raise ValueError(
+                    f"clip_input={p2g_cfg.clip_input!r} — expected "
+                    f"'auto' | 'occluded' | 'masked_object'")
             clip_choice = (default_clip if p2g_cfg.clip_input == "auto"
                            else p2g_cfg.clip_input)
             clip_in_img = (image01 if clip_choice == "occluded"

@@ -10,12 +10,12 @@ the dot and MAY fuse the elementwise tail; this kernel forces the fusion
 still resident in VMEM, saving one full HBM write+read of the matmul
 output per block when XLA hasn't already fused it.
 
-Forward-only by design: serving pipelines opt in via
-`layers.vit_block(..., fused_epilogue=True)`; training keeps the XLA
-path (the backward would need dW/dx kernels for zero measured benefit —
-the train step is not epilogue-bound). `benchmarks/fused_epilogue_ab.py`
-is the single-session A/B at the vitg/vitl serving shapes; the verdict
-lives in docs/ROADMAP.md.
+BENCHMARK-ONLY: the single-session A/B
+(`benchmarks/fused_epilogue_ab.py`, verdict in docs/ROADMAP.md) showed
+XLA already fuses the epilogue chain across block boundaries and beats
+this kernel IN SITU (pallas 5.45 vs xla 5.20 ms on the 4-block chain),
+so the kernel is intentionally NOT wired into any serving path — it
+exists as the documented negative that closes the roofline argument.
 """
 
 from __future__ import annotations

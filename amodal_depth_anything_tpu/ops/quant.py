@@ -519,13 +519,24 @@ def _unpack_nibbles(packed: jax.Array, axis: int) -> jax.Array:
     return jnp.moveaxis(out, 0, axis)
 
 
+def _w4_group(n: int, group: int) -> int:
+    """Largest divisor of `n` that is <= `group` — keeps per-group scale
+    granularity (the W4 accuracy mitigation) even when `n` is not a
+    multiple of the requested group, instead of degrading to one
+    whole-axis scale."""
+    for g in range(min(group, n), 0, -1):
+        if n % g == 0:
+            return g
+    return n
+
+
 def _w4_quantize(w: jax.Array, group: int):
     """w [fan_groups*g, out]-style 2-D view NOT required — works on the
     raw array with the INPUT axis second-to-last ([..., in, out]).
     Returns (packed int8 [..., in/2, out], scales f32 [..., in/g, out])."""
     wf = jnp.asarray(w, jnp.float32)
     n_in = wf.shape[-2]
-    g = group if n_in % group == 0 else n_in
+    g = _w4_group(n_in, group)
     grp = wf.reshape(wf.shape[:-2] + (n_in // g, g, wf.shape[-1]))
     s = jnp.max(jnp.abs(grp), axis=-2, keepdims=True) / 7.0
     s = jnp.maximum(s, 1e-12)
@@ -549,7 +560,7 @@ def quantize_conv_w4(p: dict, *, group: int = W4_GROUP) -> dict:
     scales per (ci-group, co) shared across the spatial taps."""
     w = jnp.asarray(p["w"], jnp.float32)
     kh, kw, ci, co = w.shape
-    g = group if ci % group == 0 else ci
+    g = _w4_group(ci, group)
     grp = w.reshape(kh, kw, ci // g, g, co)
     s = jnp.max(jnp.abs(grp), axis=(0, 1, 3), keepdims=True) / 7.0
     s = jnp.maximum(s, 1e-12)  # [1,1,ci/g,1,co]

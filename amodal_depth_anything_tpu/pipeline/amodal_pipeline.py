@@ -214,6 +214,13 @@ class AmodalDepthPipeline:
         if dynamic:
             if calibration is not None:
                 raise ValueError("dynamic=True needs no calibration")
+            if mixed or smooth_alpha is not None or \
+                    families != FAMILIES:
+                # dynamic always covers all four families with run-time
+                # scales; silently ignoring these would record gate
+                # verdicts for a config that never ran
+                raise ValueError("dynamic=True is incompatible with "
+                                 "families/smooth_alpha/mixed")
 
             def q(p, lm):
                 p = quantize_vit_trunk_int8(p, dynamic=True, layer_mask=lm)

@@ -661,9 +661,15 @@ def check_p2g_clip_divergence(report, path, cfg):
         # leaves (shapes/layout untouched, still exercises the real
         # converted weights everywhere else).
         def _nudge(path, leaf):
+            import zlib
+
             import jax.numpy as jnp
             if leaf.ndim >= 2 and not jnp.any(leaf):
-                k = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
+                # crc32, not hash(): str hashing is salted per process
+                # (PYTHONHASHSEED), which would make the rehearsal's
+                # divergence delta nondeterministic across runs
+                k = jax.random.PRNGKey(
+                    zlib.crc32(str(path).encode()) % (2 ** 31))
                 return jax.random.normal(k, leaf.shape, leaf.dtype) * 0.2
             return leaf
         import jax.tree_util as jtu

@@ -217,6 +217,19 @@ class DiscriminativeTrainer:
         sp_kw = ({} if self._act_sharding() is None
                  else {"act_sharding": self._act_sharding()})
         if cfg.head_tile:
+            # capability check like act_sharding above: only the DPT-head
+            # model families accept head_batch_tile; a loud error beats a
+            # TypeError at the first train step for other registries
+            import inspect
+            try:
+                ok = "head_batch_tile" in inspect.signature(
+                    model.apply).parameters
+            except (TypeError, ValueError):
+                ok = False
+            if not ok:
+                raise ValueError(
+                    f"TrainerConfig.head_tile is not supported by model "
+                    f"{model.name!r} (apply() has no head_batch_tile)")
             sp_kw = dict(sp_kw, head_batch_tile=cfg.head_tile)
 
         def loss_of(params, batch):

@@ -680,6 +680,13 @@ def main():
         import functools
 
         int8_dynamic = os.environ.get("AMODAL_INT8_DYNAMIC", "") == "1"
+        if int8_dynamic and any(os.environ.get(k) for k in (
+                "AMODAL_INT8_FAMILIES", "AMODAL_INT8_SMOOTH",
+                "AMODAL_INT8_MIXED", "AMODAL_INT8_MARGIN")):
+            raise SystemExit(
+                "bench: AMODAL_INT8_DYNAMIC=1 always quantizes all four "
+                "families with run-time scales — FAMILIES/SMOOTH/MIXED/"
+                "MARGIN would be silently ignored; unset them")
 
         # AMODAL_INT8_LAYERS_BASE / _AMODAL: per-layer subset spec like
         # "0-8,12,20-39" — quantize only those trunk layers (per-layer
@@ -693,10 +700,14 @@ def main():
             m = np.zeros(depth, bool)
             for part in spec.split(","):
                 if "-" in part:
-                    a, b = part.split("-")
-                    m[int(a):int(b) + 1] = True
+                    a, b = (int(v) for v in part.split("-"))
                 else:
-                    m[int(part)] = True
+                    a = b = int(part)
+                if not (0 <= a <= b < depth):
+                    raise SystemExit(
+                        f"bench: {env_key}={spec!r} — segment {part!r} "
+                        f"out of range / reversed for depth {depth}")
+                m[a:b + 1] = True
             return m
 
         lm_base = _layer_mask("AMODAL_INT8_LAYERS_BASE", raw_cfg.vit.depth)
