@@ -102,6 +102,12 @@ def make_rmbg_matting_fn(params, cfg: RMBGConfig = RMBGConfig(),
         alpha = cv2.resize(alpha, (w, h), interpolation=cv2.INTER_LINEAR)
         return (alpha > threshold).astype(np.float32)
 
+    # expose construction state so MaskHeuristics.save_serving can
+    # persist the hook (the closure itself is not serializable)
+    matting_fn.rmbg_params = params
+    matting_fn.rmbg_cfg = cfg
+    matting_fn.rmbg_input_size = input_size
+    matting_fn.rmbg_threshold = threshold
     return matting_fn
 
 
@@ -385,6 +391,61 @@ class MaskHeuristics:
                                               bits=bits)
         )(self.p2g_params["unet"])
         self.__dict__.pop("_p2g_jit", None)  # rebuild the cached program
+
+    def save_serving(self, path: str) -> None:
+        """Persist the READY-TO-SERVE heuristics stack (post conversion /
+        int8 quantization) — same contract as the amodal/depthfm
+        pipelines' serving checkpoints (pipeline/serving_ckpt.py): a
+        restore skips every converter AND every on-device init program
+        (~140 s of the measured 179 s warm first-pixel wall is random-
+        weight init dispatch). The RMBG matting hook is persisted when
+        present (its params ride on the closure —
+        `make_rmbg_matting_fn`)."""
+        from ..pipeline.serving_ckpt import save_serving_state
+
+        trees = {"sam": self.sam_params, "p2g": self.p2g_params}
+        meta = {
+            "kind": "mask_heuristics",
+            "sam_cfg": dataclasses.asdict(self.sam_cfg),
+            "p2g_cfg": dataclasses.asdict(self.p2g_cfg),
+            "clip_cfg": dataclasses.asdict(self.clip_cfg),
+            "vae_cfg": dataclasses.asdict(self.vae_cfg),
+            "max_points": self.max_points,
+        }
+        rmbg = getattr(self.matting_fn, "rmbg_params", None)
+        if rmbg is not None:
+            trees["rmbg"] = rmbg
+            meta["rmbg_cfg"] = dataclasses.asdict(
+                self.matting_fn.rmbg_cfg)
+            meta["rmbg_input_size"] = self.matting_fn.rmbg_input_size
+            meta["rmbg_threshold"] = self.matting_fn.rmbg_threshold
+        save_serving_state(path, trees, meta)
+
+    @classmethod
+    def load_serving(cls, path: str) -> "MaskHeuristics":
+        """Restore a stack saved by `save_serving` — param dtypes kept
+        exactly (int8 stays int8, no re-quantization), no converters,
+        no init programs."""
+        from ..pipeline.serving_ckpt import (cfg_from_dict,
+                                             restore_serving_state)
+
+        trees, meta = restore_serving_state(path,
+                                            expect_kind="mask_heuristics")
+        matting_fn = None
+        if "rmbg" in trees:
+            matting_fn = make_rmbg_matting_fn(
+                trees["rmbg"],
+                cfg_from_dict(RMBGConfig, meta["rmbg_cfg"]),
+                input_size=int(meta["rmbg_input_size"]),
+                threshold=float(meta["rmbg_threshold"]))
+        return cls(trees["sam"], cfg_from_dict(SAMConfig, meta["sam_cfg"]),
+                   trees["p2g"],
+                   cfg_from_dict(Pix2GestaltConfig, meta["p2g_cfg"]),
+                   clip_cfg=cfg_from_dict(CLIPVisionConfig,
+                                          meta["clip_cfg"]),
+                   vae_cfg=cfg_from_dict(VAEConfig, meta["vae_cfg"]),
+                   matting_fn=matting_fn,
+                   max_points=int(meta["max_points"]))
 
     def pix2gestalt_completion(self, image_rgb: np.ndarray,
                                visible_mask: np.ndarray,

@@ -238,3 +238,42 @@ def test_ddim_deep_cache_separate_guided(rng):
     # one full + one shallow trace per fn, regardless of interval 3
     assert sorted(captures) == ["c", "u"]
     assert sorted(splices) == ["c", "u"]
+
+
+def test_heuristics_serving_roundtrip(rng, tmp_path):
+    """MaskHeuristics.save_serving/load_serving: the ready-to-serve
+    stack (incl. int8-quantized UNet + the RMBG matting hook) restores
+    bit-exactly with no converters and no init programs."""
+    import dataclasses
+
+    from amodal_depth_anything_tpu.heuristics import make_rmbg_matting_fn
+    from amodal_depth_anything_tpu.heuristics.mask_heuristics import \
+        MaskHeuristics
+    from amodal_depth_anything_tpu.models.rmbg import RMBGConfig, init_rmbg
+
+    mh = MaskHeuristics.init_random(jax.random.PRNGKey(0), tiny=True)
+    mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=2)
+    rcfg = RMBGConfig(width=8, stage_mid=(4, 4, 4, 8, 8, 8),
+                      stage_out=(8, 8, 16, 16, 16, 16),
+                      dec_mid=(4, 4, 4, 8, 8))
+    mh.matting_fn = make_rmbg_matting_fn(
+        jax.jit(lambda k: init_rmbg(k, rcfg))(jax.random.PRNGKey(1)),
+        rcfg, input_size=64)
+    # (the tiny preset's channels sit below quantize_diffusion_int8's
+    # wide-site thresholds, so int8 trees are exercised by the amodal
+    # pipeline round-trip test instead)
+
+    image = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    visible = (rng.random((64, 64)) > 0.5)
+    ref = mh.pix2gestalt_completion(image, visible)
+
+    path = str(tmp_path / "heur")
+    mh.save_serving(path)
+    mh2 = MaskHeuristics.load_serving(path)
+    assert mh2.p2g_cfg == mh.p2g_cfg
+    assert mh2.sam_cfg == mh.sam_cfg
+    got = mh2.pix2gestalt_completion(image, visible)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    # matting hook restored and runnable
+    m = mh2.matting_fn(np.asarray(ref))
+    assert m.shape == ref.shape[:2] and set(np.unique(m)) <= {0.0, 1.0}
