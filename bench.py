@@ -338,8 +338,21 @@ def bench_heuristics():
     # compiles, the first completion
     import_s = round(time.perf_counter() - _BENCH_T0, 1)
     _t = time.perf_counter()
-    mh = MaskHeuristics.init_random(jax.random.PRNGKey(0),
-                                    tiny=not on_tpu)
+    # AMODAL_HEUR_SERVING=dir: restore the ready-to-serve stack from a
+    # serving checkpoint (no init programs — the 140 s warm-start floor);
+    # when the dir does not exist yet, init_random then SEED it so the
+    # next run warm-loads
+    serving_dir = os.environ.get("AMODAL_HEUR_SERVING", "")
+    if serving_dir and os.path.exists(
+            os.path.join(serving_dir, "serving_meta.json")):
+        mh = MaskHeuristics.load_serving(serving_dir)
+        init_mode = "load_serving"
+    else:
+        mh = MaskHeuristics.init_random(jax.random.PRNGKey(0),
+                                        tiny=not on_tpu)
+        init_mode = "init_random"
+        if serving_dir:
+            mh.save_serving(serving_dir)
     init_s = round(time.perf_counter() - _t, 1)
     import dataclasses
     dc_env = os.environ.get("AMODAL_DEEPCACHE_P2G", "")
@@ -422,6 +435,7 @@ def bench_heuristics():
         "first_pixel_s": round(first_pixel_s, 1),
         "startup_breakdown_s": {
             "import": import_s, "param_init": init_s,
+            "init_mode": init_mode,
             "sam_first": round(sam_first_s, 1),
             "p2g_first": round(p2g_first_s, 1)},
         **({"quality_delta": quality} if quality else {}),
