@@ -413,6 +413,13 @@ class MaskHeuristics:
             "max_points": self.max_points,
         }
         rmbg = getattr(self.matting_fn, "rmbg_params", None)
+        if self.matting_fn is not None and rmbg is None:
+            # fail loudly: silently dropping a custom hook would make the
+            # restored stack fall back to threshold matting with no error
+            raise ValueError(
+                "matting_fn is not persistable (no rmbg_params — only "
+                "make_rmbg_matting_fn hooks serialize); set matting_fn "
+                "= None before save_serving and re-attach after load")
         if rmbg is not None:
             trees["rmbg"] = rmbg
             meta["rmbg_cfg"] = dataclasses.asdict(

@@ -143,8 +143,12 @@ def _jitter_tree(p, *, seed=99, scale=0.02):
     this one policy so their deltas stay comparable."""
     leaves, treedef = jax.tree.flatten(p)
     keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    # float leaves only: trees restored from a post-quantization serving
+    # checkpoint carry int8 kernels + scale leaves; jittering those would
+    # crash (random.normal rejects int dtypes) or corrupt the scales
     return jax.tree.unflatten(treedef, [
         a + scale * jax.random.normal(k, a.shape, a.dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a
         for a, k in zip(leaves, keys)])
 
 
@@ -374,7 +378,10 @@ def bench_heuristics():
         mh.p2g_params["unet"] = jax.jit(_jitter_tree)(mh.p2g_params["unet"])
 
     rng = np.random.default_rng(0)
-    hw = 1024 if on_tpu else 64
+    # derive the benchmark geometry from the ACTUAL stack (a serving
+    # checkpoint may hold a tiny or differently-sized model — the metric
+    # label must describe what ran, not what the platform default is)
+    hw = mh.sam_cfg.img_size
     image = (rng.random((hw, hw, 3)) * 255).astype(np.uint8)
     points = np.asarray([[hw // 2, hw // 2], [hw // 3, hw // 3]], np.float32)
 
@@ -422,8 +429,9 @@ def bench_heuristics():
     p50 = sorted(lat)[1]
 
     print(json.dumps({
-        "metric": f"heuristics completions/sec (SAM vit-h @ {hw}px + "
-                  f"pix2gestalt {ddim_steps}-step DDIM"
+        "metric": f"heuristics completions/sec (SAM "
+                  f"{'vit-h' if mh.sam_cfg.embed_dim == 1280 else f'd{mh.sam_cfg.embed_dim}'}"
+                  f" @ {hw}px + pix2gestalt {ddim_steps}-step DDIM"
                   + (f" deepcache={dc_env}" if dc_env else "")
                   + (f" int8={'w4' if int8_env == 'w4' else 'wo' if int8_env != 'w8a8' else 'w8a8'}"
                      if int8_env else "")
