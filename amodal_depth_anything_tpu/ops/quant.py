@@ -536,6 +536,11 @@ def _w4_quantize(w: jax.Array, group: int):
     Returns (packed int8 [..., in/2, out], scales f32 [..., in/g, out])."""
     wf = jnp.asarray(w, jnp.float32)
     n_in = wf.shape[-2]
+    if n_in % 2:
+        raise ValueError(
+            f"W4 nibble packing needs an even input-axis length, got "
+            f"{n_in} (shape {tuple(w.shape)}) — only even-fan-in layers "
+            "can be int4-quantized")
     g = _w4_group(n_in, group)
     grp = wf.reshape(wf.shape[:-2] + (n_in // g, g, wf.shape[-1]))
     s = jnp.max(jnp.abs(grp), axis=-2, keepdims=True) / 7.0
@@ -560,6 +565,11 @@ def quantize_conv_w4(p: dict, *, group: int = W4_GROUP) -> dict:
     scales per (ci-group, co) shared across the spatial taps."""
     w = jnp.asarray(p["w"], jnp.float32)
     kh, kw, ci, co = w.shape
+    if ci % 2:
+        raise ValueError(
+            f"W4 nibble packing needs an even in-channel count, got "
+            f"{ci} (shape {tuple(w.shape)}) — only even-fan-in convs "
+            "can be int4-quantized")
     g = _w4_group(ci, group)
     grp = w.reshape(kh, kw, ci // g, g, co)
     s = jnp.max(jnp.abs(grp), axis=(0, 1, 3), keepdims=True) / 7.0

@@ -40,54 +40,84 @@ import jax.numpy as jnp
 # The axon TPU tunnel can wedge for hours (CLAUDE.md): a hung backend
 # init would stall the caller forever, and signal-based deadlines can't
 # interrupt a blocking C call. Probe the device in a SUBPROCESS under a
-# hard timeout and fail FAST (nonzero exit, no JSON line — a zero-value
-# line would be recorded as a real measurement). Skipped on forced-CPU
-# runs; ~30 s extra client init on a healthy TPU, a bounded abort on a
-# wedged one. AMODAL_BENCH_NO_PROBE=1 disables;
-# AMODAL_BENCH_PROBE_TIMEOUT overrides the deadline (default 600 s: the
-# tunnel has measured 95 s for a first-op roundtrip while UP-but-degraded
-# and oscillates past 300 s under host load, so a short probe aborts runs
-# a longer wait would have completed).
+# hard per-attempt timeout — and keep probing inside a WINDOW rather
+# than fail-fast. Round 4's bench of record hit a tunnel outage that a
+# later re-probe would have ridden out, and the single-probe abort
+# turned a recoverable outage into a permanently empty round
+# (BENCH_r04.json rc=1). A late number beats no number, so the probe
+# now retries every ~3 min (the runbook_lib.sh pattern) until
+# AMODAL_BENCH_PROBE_WINDOW (default 2700 s) elapses, then aborts with
+# nonzero exit and NO JSON line (a zero-value line would be recorded as
+# a real measurement). Skipped on forced-CPU runs.
+#   AMODAL_BENCH_NO_PROBE=1        disable entirely
+#   AMODAL_BENCH_PROBE_TIMEOUT     per-attempt deadline, default 420 s
+#     (the tunnel has measured 95 s first-op roundtrips while
+#     UP-but-degraded, so short attempts misread degraded-up as down)
+#   AMODAL_BENCH_PROBE_WINDOW      total wall budget, default 2700 s
+#   AMODAL_BENCH_PROBE_FORCE_FAIL_S  rehearsal-only: treat every attempt
+#     inside the first N s of process wall as a failed probe, to
+#     demonstrate recovery through a forced-late probe without needing
+#     a real outage (runbook evidence for the probe-window design).
 if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
         and os.environ.get("AMODAL_BENCH_NO_PROBE", "") != "1"):
     import subprocess
     import sys
-    _probe_s = float(os.environ.get("AMODAL_BENCH_PROBE_TIMEOUT", "600"))
-    # Backend init sometimes raises a transient UNAVAILABLE on an
-    # otherwise-healthy tunnel (CLAUDE.md gotchas); retry those quick
-    # failures a few times before giving up. A TIMEOUT is not retried:
-    # it already waited the full deadline, and measured outages last
-    # hours, so a second wait only doubles the abort latency.
-    # Clamped to >=1: 0/negative would skip the probe loop entirely and
-    # silently bypass the hung-tunnel guard (the explicit opt-out is
-    # AMODAL_BENCH_NO_PROBE, not a zero retry count).
-    _tries = max(1, int(os.environ.get("AMODAL_BENCH_PROBE_RETRIES", "3")))
-    for _i in range(_tries):
+    _attempt_s = float(os.environ.get("AMODAL_BENCH_PROBE_TIMEOUT", "420"))
+    _window_s = float(os.environ.get("AMODAL_BENCH_PROBE_WINDOW", "2700"))
+    _force_fail_s = float(
+        os.environ.get("AMODAL_BENCH_PROBE_FORCE_FAIL_S", "0"))
+    _deadline = _BENCH_T0 + _window_s
+    _attempt = 0
+    while True:
+        _attempt += 1
+        _remaining = _deadline - time.perf_counter()
+        if _remaining <= 0:
+            raise SystemExit(
+                f"bench: TPU probe window ({_window_s:.0f} s) exhausted "
+                f"after {_attempt - 1} attempts (tunnel down?) — "
+                "aborting without a number")
+        if time.perf_counter() - _BENCH_T0 < _force_fail_s:
+            print(f"bench: probe attempt {_attempt} FORCED-FAIL "
+                  "(rehearsal), retrying in 30 s", file=sys.stderr,
+                  flush=True)
+            time.sleep(min(30.0, max(_remaining, 0.0)))
+            continue
         try:
             subprocess.run(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp; "
                  "print(float(jnp.sum(jnp.ones((8,)))))"],
-                timeout=_probe_s, check=True, capture_output=True)
+                timeout=min(_attempt_s, _remaining), check=True,
+                capture_output=True)
             break
         except subprocess.TimeoutExpired:
-            raise SystemExit(f"bench: TPU probe exceeded {_probe_s:.0f} s "
-                             "(tunnel down?) — aborting without a number")
+            # the attempt itself consumed its slice of the window; go
+            # straight to the next one (measured outages end — the
+            # window, not the attempt, is the abort authority)
+            print(f"bench: probe attempt {_attempt} timed out "
+                  f"({_attempt_s:.0f} s), re-probing", file=sys.stderr,
+                  flush=True)
         except subprocess.CalledProcessError as e:
-            if _i + 1 == _tries:
-                raise SystemExit("bench: TPU probe failed "
-                                 f"{_tries}x: "
-                                 + e.stderr.decode(errors="replace")[-500:])
-            time.sleep(60)
+            # transient UNAVAILABLE from backend init (CLAUDE.md): quick
+            # failure — wait the runbook cadence before the next attempt
+            print(f"bench: probe attempt {_attempt} failed: "
+                  + e.stderr.decode(errors="replace")[-200:].strip()
+                  + " — retrying in 180 s", file=sys.stderr, flush=True)
+            time.sleep(min(180.0, max(_deadline - time.perf_counter(),
+                                      0.0)))
 
-# AMODAL_TPU_CACHE=1: persistent compile cache for TPU runs. Unlike the
-# XLA:CPU cache (AOT host-feature-fragile across driver hosts — see
-# __graft_entry__), TPU executables key on the TPU target, so same-box
-# re-runs hit. This is the calibrated-int8 wall-time lever: the calib
+# Persistent compile cache for TPU runs — ON by default (disable with
+# AMODAL_TPU_CACHE=0). Unlike the XLA:CPU cache (AOT host-feature-
+# fragile across driver hosts — see __graft_entry__), TPU executables
+# key on the TPU target, so same-box re-runs hit. Two reasons it is now
+# default rather than opt-in (round-4 VERDICT item 1): (a) the calib
 # chain's ~2 extra large jit programs compile once per box instead of
-# once per process (~65 min cold -> minutes warm, runbook v7). Opt-in so
-# the driver's bench of record stays a known-good path.
-if (os.environ.get("AMODAL_TPU_CACHE", "") == "1"
+# once per process (~65 min cold -> minutes warm, runbook v7); (b) the
+# bench of record must produce a number even after riding out a tunnel
+# outage inside the probe window — with the exact path pre-seeded
+# (runbook v22), time-to-number after recovery is minutes, not a cold
+# ~30-min compile.
+if (os.environ.get("AMODAL_TPU_CACHE", "1") != "0"
         and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -347,17 +377,24 @@ def bench_heuristics():
     # when the dir does not exist yet, init_random then SEED it so the
     # next run warm-loads
     serving_dir = os.environ.get("AMODAL_HEUR_SERVING", "")
+    serving_seed_s = None
     if serving_dir and os.path.exists(
             os.path.join(serving_dir, "serving_meta.json")):
         mh = MaskHeuristics.load_serving(serving_dir)
         init_mode = "load_serving"
+        init_s = round(time.perf_counter() - _t, 1)
     else:
         mh = MaskHeuristics.init_random(jax.random.PRNGKey(0),
                                         tiny=not on_tpu)
         init_mode = "init_random"
+        init_s = round(time.perf_counter() - _t, 1)
         if serving_dir:
+            # multi-GB device->host Orbax fetch — minutes through a
+            # degraded tunnel; timed separately so the breakdown does
+            # not misattribute checkpoint-write wall to param init
+            _t = time.perf_counter()
             mh.save_serving(serving_dir)
-    init_s = round(time.perf_counter() - _t, 1)
+            serving_seed_s = round(time.perf_counter() - _t, 1)
     import dataclasses
     dc_env = os.environ.get("AMODAL_DEEPCACHE_P2G", "")
     # "interval" or "interval,groups": DeepCache over the DDIM steps
@@ -444,6 +481,8 @@ def bench_heuristics():
         "startup_breakdown_s": {
             "import": import_s, "param_init": init_s,
             "init_mode": init_mode,
+            **({"serving_seed": serving_seed_s}
+               if serving_seed_s is not None else {}),
             "sam_first": round(sam_first_s, 1),
             "p2g_first": round(p2g_first_s, 1)},
         **({"quality_delta": quality} if quality else {}),

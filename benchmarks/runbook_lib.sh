@@ -15,11 +15,23 @@
 # historical records of what ran and stay untouched — new runbooks
 # source this file.)
 
-log() { echo "[$(date +%H:%M:%S)] $*" >> "/tmp/runbook${RUNBOOK}.log"; }
+# /tmp marker naming is NORMALIZED to runbook<NN> (no "v"): v21 wrote
+# runbookv21.* while every earlier runbook and wait_for used runbookNN,
+# so a "wait_for runbook21" would never see the pid file and two
+# runbooks could benchmark concurrently on one TPU (advisor r4).
+# rb_name strips an optional leading v; runbook scripts should use
+# rb_start (writes the pid file) instead of hand-writing the path.
+rb_name() { echo "runbook${1#v}"; }
+_RB="$(rb_name "${RUNBOOK}")"
 
-wait_for() {  # wait_for runbook19  — blocks until that runbook's done
-  while [ -f "/tmp/$1.pid" ] && [ ! -f "/tmp/$1.done" ]; do
-    log "waiting for $1"; sleep 120
+log() { echo "[$(date +%H:%M:%S)] $*" >> "/tmp/${_RB}.log"; }
+
+rb_start() { echo $$ > "/tmp/${_RB}.pid"; log "runbook ${RUNBOOK} start"; }
+
+wait_for() {  # wait_for runbook19 | wait_for v21 — blocks until done
+  local n; n="$(rb_name "${1#runbook}")"
+  while [ -f "/tmp/$n.pid" ] && [ ! -f "/tmp/$n.done" ]; do
+    log "waiting for $n"; sleep 120
   done
 }
 
@@ -53,5 +65,5 @@ run() {  # run <timeout_s> <title> <logfile> [ENV=V ...] cmd...
 
 runbook_done() {
   log "runbook ${RUNBOOK} done"
-  touch "/tmp/runbook${RUNBOOK}.done"
+  touch "/tmp/${_RB}.done"
 }
