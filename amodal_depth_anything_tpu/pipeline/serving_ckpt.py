@@ -25,9 +25,65 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["save_serving_state", "restore_serving_state", "cfg_from_dict"]
+__all__ = ["save_serving_state", "restore_serving_state", "cfg_from_dict",
+           "bulk_to_device"]
 
 _META = "serving_meta.json"
+
+# One eager transfer per ~chunk instead of one per leaf: through the
+# tunneled TPU, per-array dispatch pays a full roundtrip each (~0.5 s x
+# ~600 SAM leaves ~= the 305 s "8 MB/s" load_serving wall, round-4
+# VERDICT weak #3) while a single large device_put runs at the probed
+# link rate (~30 MB/s healthy). 256 MB bounds host-side copy overhead
+# and keeps peak extra host RAM to one chunk.
+_CHUNK_BYTES = 256 * 1024 * 1024
+
+
+def bulk_to_device(tree, *, chunk_bytes: int = _CHUNK_BYTES):
+    """Host (numpy-leaf) pytree -> committed device pytree, transferring
+    same-dtype leaves concatenated into few large buffers.
+
+    The per-leaf lazy path (`jax.tree.map(jnp.asarray, tree)`) defers
+    each transfer to first use and pays per-op tunnel latency; this
+    packs leaves per dtype into <=chunk_bytes host buffers, issues one
+    eager `device_put` per buffer, and slices the leaves back out
+    on-device in a single donated jit (no second HBM copy)."""
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(tree)
+    n = len(leaves)
+    # (chunk_id, offset, size) per leaf, grouped by dtype so slicing
+    # needs no bitcasts
+    plans = [None] * n
+    chunks = []
+    groups: dict = {}
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        dt = a.dtype
+        per = max(1, chunk_bytes // max(a.dtype.itemsize, 1))
+        cur = groups.get(dt)
+        if cur is None or cur[1] + a.size > per:
+            chunks.append((dt, []))
+            groups[dt] = (len(chunks) - 1, 0)
+            cur = groups[dt]
+        cid, off = cur
+        chunks[cid][1].append(a.ravel())
+        plans[i] = (cid, off, a.size, a.shape)
+        groups[dt] = (cid, off + a.size)
+
+    host_bufs = [np.concatenate(parts) if len(parts) > 1 else parts[0]
+                 for _, parts in chunks]
+    dev_bufs = [jax.device_put(b) for b in host_bufs]
+
+    def split(bufs):
+        out = []
+        for cid, off, size, shape in plans:
+            out.append(jax.lax.dynamic_slice_in_dim(
+                bufs[cid], off, size).reshape(shape))
+        return out
+
+    new_leaves = jax.jit(split, donate_argnums=0)(dev_bufs)
+    return jax.tree.unflatten(treedef, new_leaves)
 
 
 def cfg_from_dict(cls, d: dict):
@@ -64,5 +120,10 @@ def restore_serving_state(path: str, *, expect_kind: str):
         raise ValueError(f"{path} holds a {kind!r} serving state, "
                          f"expected {expect_kind!r}")
     trees = ocp.PyTreeCheckpointer().restore(os.path.join(path, "params"))
-    trees = jax.tree.map(jnp.asarray, trees)
+    if os.environ.get("AMODAL_BULK_RESTORE", "1") != "0":
+        trees = bulk_to_device(trees)
+    else:
+        # legacy per-leaf path (lazy through the axon plugin — first use
+        # pays ~one tunnel roundtrip per leaf; keep for A/B)
+        trees = jax.tree.map(jnp.asarray, trees)
     return trees, meta

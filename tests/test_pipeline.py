@@ -419,3 +419,28 @@ def test_serving_roundtrip_with_layer_masks(rng, tmp_path):
     _, blended2 = pipe2(img, mask)
     np.testing.assert_array_equal(np.asarray(blended),
                                   np.asarray(blended2))
+
+
+def test_bulk_to_device_bit_exact(rng):
+    """bulk_to_device (the eager chunked host->device restore path,
+    default since r5): mixed dtypes, scalars, empty and multi-chunk
+    trees all come back bit-exact with dtypes preserved. Forced tiny
+    chunk_bytes exercises the multi-chunk planner."""
+    import ml_dtypes
+
+    from amodal_depth_anything_tpu.pipeline.serving_ckpt import \
+        bulk_to_device
+
+    tree = {
+        "a": {"w": rng.standard_normal((33, 17)).astype(np.float32),
+              "b": rng.standard_normal((17,)).astype(ml_dtypes.bfloat16)},
+        "q": {"k": rng.integers(-127, 127, (64, 8)).astype(np.int8),
+              "scale": np.float32(0.5).reshape(())},
+        "empty": np.zeros((0, 4), np.float32),
+    }
+    out = bulk_to_device(tree, chunk_bytes=128)
+    flat_in = jax.tree_util.tree_flatten_with_path(tree)[0]
+    flat_out = jax.tree_util.tree_flatten_with_path(out)[0]
+    for (p1, l1), (_, l2) in zip(flat_in, flat_out):
+        assert l1.shape == l2.shape and l1.dtype == l2.dtype, p1
+        np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
