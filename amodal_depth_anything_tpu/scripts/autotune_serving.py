@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default="amodal")
     p.add_argument("--random", action="store_true",
                    help="seeded random weights (tiny presets) — smoke mode")
+    p.add_argument("--proxy", nargs="?", const="checkpoints/proxy",
+                   default=None,
+                   help="trained structured-weight proxy dir "
+                        "(scripts/train_proxy.py). DEFAULT when no "
+                        "checkpoints are given and checkpoints/proxy "
+                        "exists — random-weight gate verdicts are a "
+                        "known-misleading artifact (round-4 proxy-v2)")
     p.add_argument("--base_ckpt", type=str, default=None)
     p.add_argument("--amodal_ckpt", type=str, default=None)
     p.add_argument("--depthfm_ckpt", type=str, default=None)
@@ -109,6 +116,22 @@ def _load_amodal(args):
     builds new arrays, it never mutates its input)."""
     import jax
 
+    if args.proxy:
+        import json
+
+        from ..models.amodal_dav2 import DAV2Config
+        from .train_proxy import load_params_npz
+        with open(os.path.join(args.proxy, "meta.json")) as f:
+            enc = json.load(f)["encoder"]
+        raw_cfg = DAV2Config(encoder=enc, guide_type="none", raw=True)
+        am_cfg = DAV2Config(encoder=enc, guide_type="mask+observation")
+        import jax.numpy as jnp
+        p_raw = jax.tree.map(jnp.asarray, load_params_npz(
+            os.path.join(args.proxy, "raw_base.npz")))
+        p_am = jax.tree.map(jnp.asarray, load_params_npz(
+            os.path.join(args.proxy, "amodal.npz")))
+        return p_raw, raw_cfg, p_am, am_cfg
+
     if args.random:
         from ..models.amodal_dav2 import DAV2Config, init_amodal_dav2
         raw_cfg = DAV2Config(encoder="vitt", guide_type="none", raw=True)
@@ -123,7 +146,6 @@ def _load_amodal(args):
             jax.random.PRNGKey(args.seed + 1))
         return p_raw, raw_cfg, p_am, am_cfg
 
-    import os
 
     from ..convert.torch_to_jax import (convert_dav2, infer_dav2_config,
                                         load_state_dict)
@@ -140,6 +162,23 @@ def _load_amodal(args):
 
 def _load_depthfm(args):
     import jax
+
+    if args.proxy and os.path.exists(os.path.join(args.proxy,
+                                                  "depthfm.npz")):
+        import json
+
+        import jax.numpy as jnp
+
+        from ..models.depthfm import DepthFMConfig
+        from .train_proxy import load_params_npz
+        with open(os.path.join(args.proxy, "depthfm_meta.json")) as f:
+            over = json.load(f)["overrides"]
+        over["vae_channels"] = tuple(over["vae_channels"])
+        over["channel_mult"] = tuple(over.get("channel_mult", (1, 2, 4, 4)))
+        cfg = DepthFMConfig(guide_type="mask+observation", **over)
+        params = jax.tree.map(jnp.asarray, load_params_npz(
+            os.path.join(args.proxy, "depthfm.npz")))
+        return params, cfg
 
     if args.random:
         from ..models import get_model
@@ -171,9 +210,9 @@ def _build_amodal(args, name, loaded):
     size = args.size
 
     def tm(frac, late):
-        from ..models.amodal_dav2 import DAV2Config
-        cfg = DAV2Config(encoder="vitt" if args.random else "vitl")
-        return _tome_cfg(cfg.vit, size, frac, late)
+        # derive merge geometry from the LOADED trunk config (vitt smoke
+        # / vitp proxy / converted-checkpoint encoder all differ)
+        return _tome_cfg(raw_cfg.vit, size, frac, late)
 
     kw = {}
     if "tome_base" in name:
@@ -242,6 +281,18 @@ def _measure(call, reps):
 
 
 def run_autotune(args) -> dict:
+    # Default quality evidence = the trained proxy (round-4 VERDICT
+    # item 4): with no checkpoints and no --random, fall back to the
+    # in-repo proxy when present instead of erroring on a missing ckpt.
+    if (not args.random and args.proxy is None
+            and not (args.base_ckpt or args.depthfm_ckpt)):
+        marker = ("meta.json" if args.family == "amodal"
+                  else "depthfm_meta.json")
+        default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", "..", "checkpoints", "proxy")
+        if os.path.exists(os.path.join(default, marker)):
+            args.proxy = os.path.normpath(default)
+
     names = candidate_configs(args.family, args.include_calibrated)
     if args.configs:
         keep = [s.strip() for s in args.configs.split(",")]
@@ -307,6 +358,10 @@ def run_autotune(args) -> dict:
         "dtype": args.dtype,
         "quality_budget": args.quality_budget,
         "random_weights": bool(args.random),
+        # which proxy judged these rows (round-4 VERDICT item 5: every
+        # verdict row must say what weights produced it)
+        "weights": ("random" if args.random else
+                    f"proxy:{args.proxy}" if args.proxy else "checkpoints"),
         "rows": rows,
         "best": best["config"] if best else None,
         "best_img_per_sec": best["img_per_sec"] if best else None,
@@ -316,12 +371,22 @@ def run_autotune(args) -> dict:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.family == "amodal" and not args.random and not (
-            args.base_ckpt and args.amodal_ckpt):
-        raise SystemExit("need --random or --base_ckpt/--amodal_ckpt")
-    if args.family == "depthfm" and not args.random and not (
-            args.depthfm_ckpt and args.vae_ckpt):
-        raise SystemExit("need --random or --depthfm_ckpt/--vae_ckpt")
+    # explicit checkpoints > explicit --proxy/--random > auto trained
+    # proxy (resolved inside run_autotune when checkpoints/proxy exists)
+    have_proxy_default = os.path.exists(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..",
+        "checkpoints", "proxy",
+        "meta.json" if args.family == "amodal" else "depthfm_meta.json"))
+    if args.family == "amodal" and not args.random and not args.proxy \
+            and not (args.base_ckpt and args.amodal_ckpt) \
+            and not have_proxy_default:
+        raise SystemExit("need --random, --proxy or "
+                         "--base_ckpt/--amodal_ckpt")
+    if args.family == "depthfm" and not args.random and not args.proxy \
+            and not (args.depthfm_ckpt and args.vae_ckpt) \
+            and not have_proxy_default:
+        raise SystemExit("need --random, --proxy or "
+                         "--depthfm_ckpt/--vae_ckpt")
     report = run_autotune(args)
     line = json.dumps(report)
     print(line)

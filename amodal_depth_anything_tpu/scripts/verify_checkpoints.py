@@ -141,10 +141,13 @@ def tiny_configs() -> dict:
         "rmbg": RMBGConfig(width=8, stage_mid=(4, 4, 4, 8, 8, 8),
                            stage_out=(8, 8, 16, 16, 16, 16),
                            dec_mid=(4, 4, 4, 8, 8)),
+        # depth 4 + four hooks: forward-capable (the prep-divergence row
+        # runs the converted model end-to-end; the midas scratch needs
+        # all 4 taps), same shape family as the registry's tiny preset
         "zoe": ZoeDepthConfig(
-            backbone=BEiTConfig(embed_dim=64, depth=2, num_heads=2,
+            backbone=BEiTConfig(embed_dim=64, depth=4, num_heads=2,
                                 img_size=64, in_chans=5),
-            hooks=(0, 1), tap_channels=(8, 16, 32, 32), features=16,
+            hooks=(0, 1, 2, 3), tap_channels=(8, 16, 32, 32), features=16,
             n_bins=8, bin_embedding_dim=16, n_attractors=(4, 2, 2, 1),
             midas_out=8),
         "p2g": Pix2GestaltConfig(model_channels=32, channel_mult=(1, 2),
@@ -733,6 +736,91 @@ def check_rmbg(report, path, cfg=None):
     _row(report, "rmbg_convert", _convert)
 
 
+def check_is_prep_divergence(report, path, cfg=None):
+    """ROADMAP Approximate #3's checkpoint-day guard (round-4 VERDICT
+    item 6): run the converted InvisibleStitch ZoeDepth END-TO-END with
+    BOTH plausible 5-channel preps — mean/std 0.5 on the rgb channels
+    only (our reading of reference invisible_stitch.py:56-63,84-105)
+    vs the same normalization applied to ALL 5 channels (rgb +
+    masked observation + depth mask) — and assert the outputs diverge.
+    On checkpoint day the real `invisible-stitch.pt` settles the
+    question with one command: the prep whose output matches the
+    published renders is correct, the other is mechanically excluded
+    (same pattern as the p2g CLIP-input divergence row)."""
+
+    def _run():
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        from ..convert.zoedepth_convert import convert_zoedepth
+        from ..models.zoedepth import (ZoeDepthConfig, apply_zoedepth,
+                                       apply_invisible_stitch)
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        if "model" in raw and isinstance(raw["model"], dict):
+            raw = raw["model"]
+        sd = {k: v.numpy() for k, v in raw.items()}
+        zcfg = cfg or ZoeDepthConfig()
+        params = convert_zoedepth(sd, zcfg)
+
+        # InvisibleStitch zero-inits the patch-embed's non-rgb input
+        # channels (reference init; our init matches) — with them zero,
+        # BOTH preps agree on channels the net can see and the
+        # divergence would be vacuously ~0 through the extra channels.
+        # Nudge exactly the all-zero slice (real trained checkpoints
+        # have non-zero weights there; everything else stays the real
+        # converted values) — same rationale as the p2g CLIP row's
+        # zero-module nudge.
+        w = params["backbone"]["patch_embed"]["proj"]["w"]
+        if w.shape[2] > 3 and not jnp.any(w[:, :, 3:, :]):
+            k = jax.random.PRNGKey(11)
+            noise = jax.random.normal(
+                k, w[:, :, 3:, :].shape, w.dtype) * float(
+                    jnp.std(w[:, :, :3, :]) + 1e-3)
+            params["backbone"]["patch_embed"]["proj"]["w"] = \
+                w.at[:, :, 3:, :].set(noise)
+
+        s = zcfg.backbone.img_size
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((1, s, s, 3)), jnp.float32)
+        inv = jnp.asarray(
+            (rng.random((1, s, s, 1)) > 0.6), jnp.float32)
+        obs = jnp.asarray(rng.random((1, s, s, 1)), jnp.float32)
+
+        out_rgb_only = np.asarray(apply_invisible_stitch(
+            params, zcfg, x, invisible_mask=inv, observation=obs))
+
+        # candidate B: normalize ALL five channels with mean/std 0.5
+        depth_mask = 1.0 - inv
+        obs_masked = obs * (1.0 - inv)
+        inp5 = jnp.concatenate([(x - 0.5) / 0.5,
+                                (obs_masked - 0.5) / 0.5,
+                                (depth_mask - 0.5) / 0.5], axis=-1)
+        out_all5 = np.asarray(apply_zoedepth(params, zcfg, inp5))
+
+        assert np.isfinite(out_rgb_only).all() and \
+            np.isfinite(out_all5).all(), "non-finite prediction"
+        delta = float(np.abs(out_rgb_only - out_all5).max())
+        # relative gate: the random-weight metric-bin head compresses
+        # the output to a ~1e-3 dynamic range (attractor averaging), so
+        # observability is delta vs that range, not an absolute. The
+        # forward is deterministic (same-prep rerun delta is exactly 0),
+        # so 1% of range is far above numerical noise.
+        out_range = float(out_rgb_only.max() - out_rgb_only.min())
+        rel = delta / max(out_range, 1e-12)
+        assert rel > 0.01, \
+            (f"prep candidates indistinguishable (max delta {delta:.2e} "
+             f"= {rel:.1%} of output range) — checkpoint-day selection "
+             "would be blind")
+        return (f"candidates diverge: max|rgb_only - all5| = {delta:.2e}"
+                f" ({rel:.0%} of output range; selection is mechanical)")
+
+    _row(report, "invisible_stitch_prep_divergence", _run)
+
+
 def check_invisible_stitch(report, path, cfg=None):
     def _convert():
         import torch
@@ -834,6 +922,14 @@ def main(argv=None) -> int:
         report.add("p2g_clip_input_divergence", "SKIP",
                    "--pix2gestalt not given" if not args.pix2gestalt
                    else "--skip_forward")
+
+    if args.invisible_stitch and not args.skip_forward:
+        check_is_prep_divergence(report, args.invisible_stitch,
+                                 cfg=tc.get("zoe"))
+    else:
+        report.add("invisible_stitch_prep_divergence", "SKIP",
+                   "--invisible_stitch not given"
+                   if not args.invisible_stitch else "--skip_forward")
 
     if tmpdir is not None:
         tmpdir.cleanup()

@@ -166,6 +166,27 @@ def _amortized_p50_ms(run, sync, n=20, repeats=3):
     return sorted(per_call)[len(per_call) // 2] * 1e3
 
 
+def _resolve_proxy_ckpt(quality_on: bool, marker: str) -> str:
+    """Which proxy checkpoint dir a quality run should use.
+
+    Explicit AMODAL_PROXY_CKPT wins ("random" -> "" = the legacy
+    jittered seeded-random proxy). Otherwise quality runs DEFAULT to the
+    in-repo trained proxy (checkpoints/proxy) when it holds `marker`
+    (meta.json / depthfm_meta.json / p2g_meta.json per family) — round-4
+    VERDICT item 4: the random proxy is a known-misleading artifact and
+    must not be what a no-env-var gate row silently measures."""
+    env = os.environ.get("AMODAL_PROXY_CKPT", "")
+    if env == "random":
+        return ""
+    if env:
+        return env
+    if not quality_on:
+        return ""
+    default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "checkpoints", "proxy")
+    return default if os.path.exists(os.path.join(default, marker)) else ""
+
+
 def _jitter_tree(p, *, seed=99, scale=0.02):
     """Jitter every leaf: zero_module parity zeroes the UNet output convs
     at init, which makes optimized-vs-exact quality deltas vacuous on
@@ -199,13 +220,38 @@ def bench_depthfm():
     batch = int(os.environ.get("AMODAL_BENCH_BATCH", 8 if on_tpu else 1))
     iters = 5 if on_tpu else 2
 
-    model = get_model("DepthFMAmodal", tiny=not on_tpu)
-    params = model.init(jax.random.PRNGKey(0))
+    quality_on = os.environ.get("AMODAL_QUALITY", "") == "1"
+    # trained DepthFM proxy (scripts/train_proxy.py --family depthfm):
+    # real SD topology at narrow width, trained on the scenes task —
+    # default quality evidence since r5 (round-4 VERDICT items 2+4);
+    # evaluated at the REAL serving latent grid (512px -> 64x64).
+    # AMODAL_PROXY_CKPT=random restores the jittered-random proxy.
+    proxy_dir = _resolve_proxy_ckpt(quality_on, "depthfm_meta.json")
+    proxy_tag = ""
+    if proxy_dir and os.path.exists(os.path.join(proxy_dir,
+                                                 "depthfm.npz")):
+        import json as _json
+
+        from amodal_depth_anything_tpu.scripts.train_proxy import \
+            load_params_npz
+        with open(os.path.join(proxy_dir, "depthfm_meta.json")) as _f:
+            _meta = _json.load(_f)
+        over = dict(_meta["overrides"])
+        over["vae_channels"] = tuple(over["vae_channels"])
+        over["channel_mult"] = tuple(over.get("channel_mult", (1, 2, 4, 4)))
+        model = get_model("DepthFMAmodal", cfg_overrides=over)
+        params = jax.tree.map(jnp.asarray, load_params_npz(
+            os.path.join(proxy_dir, "depthfm.npz")))
+        proxy_tag = " proxy=trained"
+    else:
+        model = get_model("DepthFMAmodal", tiny=not on_tpu)
+        params = model.init(jax.random.PRNGKey(0))
+        if quality_on:
+            params = dict(params)
+            params["unet"] = jax.jit(_jitter_tree)(params["unet"])
+            proxy_tag = " proxy=random"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = jax.tree.map(lambda a: a.astype(dtype), params)
-    if os.environ.get("AMODAL_QUALITY", "") == "1":
-        params = dict(params)
-        params["unet"] = jax.jit(_jitter_tree)(params["unet"])
     quant_tag = ""
     params_exact = None
     int8_env = os.environ.get("AMODAL_INT8_DEPTHFM", "")
@@ -221,8 +267,7 @@ def bench_depthfm():
             quantize_diffusion_int8
         # jit the tree walk: eagerly it is several hundred one-at-a-time
         # op dispatches (~0.8 s/op through the tunnel)
-        params_exact = params if \
-            os.environ.get("AMODAL_QUALITY", "") == "1" else None
+        params_exact = params if quality_on else None
         params = jax.jit(lambda t: quantize_diffusion_int8(
             t, weight_only=(int8_env in ("wo", "w4")),
             bits=4 if int8_env == "w4" else 8))(params)
@@ -310,7 +355,7 @@ def bench_depthfm():
         return float(jnp.sum(x.astype(jnp.float32)))
 
     quality = None
-    if os.environ.get("AMODAL_QUALITY", "") == "1" and quant_tag:
+    if quality_on and quant_tag:
         # same ladder policy as the amodal pipeline: no optimized number
         # without its accuracy cost next to it (exact = no int8, no tome)
         import numpy as np
@@ -337,8 +382,8 @@ def bench_depthfm():
 
     line = {
         "metric": f"depthfm-amodal images/sec/chip @ {size}px (4-step "
-                  f"Euler eval, bf16{quant_tag}, batch {batch}; p50 "
-                  f"single-image {p50_ms:.0f} ms)",
+                  f"Euler eval, bf16{quant_tag}{proxy_tag}, batch {batch}; "
+                  f"p50 single-image {p50_ms:.0f} ms)",
         "value": round(img_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec * 8 / A100_DEPTHFM_EST_IMG_PER_SEC,
@@ -348,6 +393,7 @@ def bench_depthfm():
         from amodal_depth_anything_tpu.pipeline.quality import check_gate
         line["quality_delta"] = quality
         line["quality_gate"] = check_gate(quality)
+        line["quality_proxy"] = proxy_tag.split("=")[-1] or "random"
     print(json.dumps(line))
 
 
@@ -395,6 +441,36 @@ def bench_heuristics():
             _t = time.perf_counter()
             mh.save_serving(serving_dir)
             serving_seed_s = round(time.perf_counter() - _t, 1)
+    quality_on = os.environ.get("AMODAL_QUALITY", "") == "1"
+    # trained p2g proxy (scripts/train_proxy.py --family p2g): real
+    # SD-body topology at narrow width, DDPM-trained on the synthetic
+    # amodal-completion task — default quality evidence since r5
+    # (round-4 VERDICT items 2+4; the razor-margin wo+dc5 PASS
+    # 0.0499/0.05 was a jittered-random verdict). SAM stays as built
+    # (the gated knobs only touch the p2g DDIM path).
+    proxy_tag = ""
+    _proxy_dir = _resolve_proxy_ckpt(quality_on, "p2g_meta.json")
+    if _proxy_dir and os.path.exists(os.path.join(_proxy_dir, "p2g.npz")):
+        import json as _json
+
+        from amodal_depth_anything_tpu.heuristics.mask_heuristics import (
+            CLIPVisionConfig, Pix2GestaltConfig)
+        from amodal_depth_anything_tpu.models.vae import VAEConfig
+        from amodal_depth_anything_tpu.pipeline.serving_ckpt import \
+            cfg_from_dict
+        from amodal_depth_anything_tpu.scripts.train_proxy import \
+            load_params_npz
+        with open(os.path.join(_proxy_dir, "p2g_meta.json")) as _f:
+            _meta = _json.load(_f)
+        mh.p2g_cfg = cfg_from_dict(Pix2GestaltConfig, _meta["p2g_cfg"])
+        mh.clip_cfg = cfg_from_dict(CLIPVisionConfig, _meta["clip_cfg"])
+        mh.vae_cfg = cfg_from_dict(VAEConfig, _meta["vae_cfg"])
+        mh.p2g_params = jax.tree.map(jnp.asarray, load_params_npz(
+            os.path.join(_proxy_dir, "p2g.npz")))
+        mh.__dict__.pop("_p2g_jit", None)
+        proxy_tag = " proxy=trained"
+    elif quality_on:
+        proxy_tag = " proxy=random"
     import dataclasses
     dc_env = os.environ.get("AMODAL_DEEPCACHE_P2G", "")
     # "interval" or "interval,groups": DeepCache over the DDIM steps
@@ -410,7 +486,7 @@ def bench_heuristics():
     # int4 (halves them again, nibble-packed), "w8a8" = dynamic W8A8.
     # Opt-in, parity-breaking — same ladder policy as DeepCache.
     int8_env = os.environ.get("AMODAL_INT8_P2G", "")
-    if os.environ.get("AMODAL_QUALITY", "") == "1":
+    if quality_on and proxy_tag != " proxy=trained":
         mh.p2g_params = dict(mh.p2g_params)
         mh.p2g_params["unet"] = jax.jit(_jitter_tree)(mh.p2g_params["unet"])
 
@@ -427,7 +503,7 @@ def bench_heuristics():
     sam_first_s = time.perf_counter() - t0
 
     quality = None
-    if os.environ.get("AMODAL_QUALITY", "") == "1" and (dc or int8_env):
+    if quality_on and (dc or int8_env):
         # exact-path completion for the optimized-knob delta, computed
         # BEFORE the deep-cache program is built / the params are
         # quantized (the p2g jit is a cached property keyed on the config)
@@ -450,8 +526,7 @@ def bench_heuristics():
     # and a warm start must land <180 s
     first_pixel_s = time.perf_counter() - _BENCH_T0
     assert np.isfinite(completion).all()
-    if quality is None and os.environ.get("AMODAL_QUALITY", "") == "1" \
-            and (dc or int8_env):
+    if quality is None and quality_on and (dc or int8_env):
         d = np.abs(exact - completion)
         quality = {"completion_max_abs": round(float(d.max()), 6),
                    "completion_mean_abs": round(float(d.mean()), 6)}
@@ -472,6 +547,7 @@ def bench_heuristics():
                   + (f" deepcache={dc_env}" if dc_env else "")
                   + (f" int8={'w4' if int8_env == 'w4' else 'wo' if int8_env != 'w8a8' else 'w8a8'}"
                      if int8_env else "")
+                  + proxy_tag
                   + f"; first-call compile "
                   f"sam {sam_first_s:.0f}s p2g {p2g_first_s:.0f}s)",
         "value": round(1.0 / p50, 3),
@@ -488,7 +564,8 @@ def bench_heuristics():
         **({"quality_delta": quality} if quality else {}),
         **({"quality_gate": __import__(
             "amodal_depth_anything_tpu.pipeline.quality",
-            fromlist=["check_gate"]).check_gate(quality)}
+            fromlist=["check_gate"]).check_gate(quality),
+            "quality_proxy": proxy_tag.split("=")[-1] or "random"}
            if quality else {}),
     }))
 
@@ -664,13 +741,20 @@ def main():
     amodal_enc = "vitl" if on_tpu else "vitt"
     iters = 10 if on_tpu else 2
 
-    # AMODAL_PROXY_CKPT=dir: run on the TRAINED structured-weight proxy
-    # (scripts/train_proxy.py) instead of seeded-random flagship weights —
-    # the AMODAL_QUALITY delta then reflects real token-similarity /
-    # activation structure (round-3 VERDICT item 2). Encoders follow the
-    # checkpoint; size stays flagship (real serving token counts) unless
-    # AMODAL_BENCH_SIZE overrides.
-    proxy_ckpt = os.environ.get("AMODAL_PROXY_CKPT", "")
+    # Trained structured-weight proxy (scripts/train_proxy.py) instead of
+    # seeded-random flagship weights — the AMODAL_QUALITY delta then
+    # reflects real token-similarity / activation structure (round-3
+    # VERDICT item 2). Encoders follow the checkpoint; size stays
+    # flagship (real serving token counts) unless AMODAL_BENCH_SIZE
+    # overrides. DEFAULT since r5 (round-4 VERDICT item 4): quality runs
+    # auto-load the in-repo checkpoints/proxy when present — round 4
+    # proved the random proxy gives WRONG gate verdicts (calib chain:
+    # random-FAIL 0.129 -> trained-PASS 0.039), so regenerating them
+    # silently must not be the no-env-var behavior.
+    # AMODAL_PROXY_CKPT=dir overrides; =random forces the old jittered
+    # seeded-random behavior (mechanism-only studies).
+    proxy_ckpt = _resolve_proxy_ckpt(
+        os.environ.get("AMODAL_QUALITY", "") == "1", "meta.json")
     if proxy_ckpt:
         import json as _json
         with open(os.path.join(proxy_ckpt, "meta.json")) as _f:
@@ -987,6 +1071,7 @@ def main():
         from amodal_depth_anything_tpu.pipeline.quality import check_gate
         line["quality_delta"] = {k: round(v, 6) for k, v in quality.items()}
         line["quality_gate"] = check_gate(quality)
+        line["quality_proxy"] = "trained" if proxy_ckpt else "random"
     if calib_wall_s is not None:
         line["calib_wall_s"] = calib_wall_s
     print(json.dumps(line))
