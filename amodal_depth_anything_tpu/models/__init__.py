@@ -31,12 +31,17 @@ def _build_amodal_dav2(*, encoder: str = "vitl",
                        guide_type: str = "mask+observation",
                        loss_stategy: str | None = None,
                        loss_strategy: str | None = None,
-                       pretrained: bool = True, **_ignored) -> Model:
+                       pretrained: bool = True,
+                       embed_dim: int | None = None,
+                       depth: int | None = None, **_ignored) -> Model:
     # Accept both the reference's (misspelled, load-bearing) config key
     # `loss_stategy` (dav2.py:22, yaml files) and the corrected spelling.
+    # embed_dim/depth: test-scale overrides (DAV2Config docs) — e.g. the
+    # FSDP test's real-vitl-width depth-4 trunk.
     strategy = loss_strategy or loss_stategy or "entire_target_object"
     cfg = DAV2Config(encoder=encoder, guide_type=guide_type,
-                     loss_strategy=strategy, raw=False)
+                     loss_strategy=strategy, raw=False,
+                     embed_dim=embed_dim, depth=depth)
 
     # init and apply are jitted: op-by-op eager dispatch pays a fixed
     # per-compile cost, while one fused program compiles once and lets XLA

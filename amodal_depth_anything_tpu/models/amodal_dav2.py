@@ -46,11 +46,15 @@ class DAV2Config:
     guide_type: str = "mask+observation"
     loss_strategy: str = "entire_target_object"
     raw: bool = False  # True -> base-depth predictor variant
-    # Width overrides: keep the encoder's depth / ffn / tap indices but
+    # Width/depth overrides: keep the encoder's preset otherwise but
     # shrink embed_dim/num_heads (golden tests exercise the released
-    # architectures' depth+taps at CPU-affordable width). None = preset.
+    # architectures' depth+taps at CPU-affordable width) or depth (FSDP
+    # sharding tests exercise REAL vitl/vitg leaf widths — above the
+    # production FSDP_MIN_ELEMENTS threshold — at CPU-affordable depth;
+    # taps remap proportionally). None = preset.
     embed_dim: int | None = None
     num_heads: int | None = None
+    depth: int | None = None
 
     @property
     def vit(self) -> ViTConfig:
@@ -60,6 +64,8 @@ class DAV2Config:
             heads = self.num_heads or max(1, self.embed_dim // 32)
             cfg = dataclasses.replace(cfg, embed_dim=self.embed_dim,
                                       num_heads=heads)
+        if self.depth is not None:
+            cfg = dataclasses.replace(cfg, depth=self.depth)
         return cfg
 
     @property
@@ -81,7 +87,25 @@ class DAV2Config:
 
     @property
     def taps(self):
-        return INTERMEDIATE_LAYER_IDX[self.encoder]
+        taps = INTERMEDIATE_LAYER_IDX[self.encoder]
+        if self.depth is not None:
+            # proportional remap onto the shallow trunk, then repair to
+            # strictly increasing within [0, depth-1] (shallow depths
+            # collapse neighbors; the DPT head needs 4 distinct taps)
+            if self.depth < len(taps):
+                raise ValueError(f"depth override {self.depth} < "
+                                 f"{len(taps)} DPT taps")
+            d, pd = self.depth, ViTConfig.preset(self.encoder).depth
+            m = [min(d - 1, round(t * (d - 1) / (pd - 1))) for t in taps]
+            for i in range(1, len(m)):
+                m[i] = max(m[i], m[i - 1] + 1)
+            overflow = m[-1] - (d - 1)
+            if overflow > 0:
+                m = [v - overflow for v in m]
+            for i in range(len(m) - 2, -1, -1):
+                m[i] = min(m[i], m[i + 1] - 1)
+            taps = tuple(m)
+        return taps
 
 
 def init_amodal_dav2(key, cfg: DAV2Config) -> dict:
