@@ -149,6 +149,35 @@ class MaskHeuristics:
         self.vae_cfg = vae_cfg
         self.matting_fn = matting_fn  # optional RMBG-style matting hook
         self.max_points = max_points
+        # serving compute dtype for the SAM image encoder + p2g DDIM
+        # path (prompt coords / output logits stay f32). f32 = the
+        # reference-parity default; `cast_to(jnp.bfloat16)` is the
+        # opt-in serving mode (same ladder policy as the flagship
+        # pipeline's bf16 default — gate with the trained p2g proxy).
+        self.compute_dtype = jnp.float32
+
+    def cast_to(self, dtype) -> None:
+        """Cast the float param leaves (SAM + p2g stacks) and the image
+        inputs to `dtype`. bf16 halves the bytes the param-read-bound
+        100-step DDIM loop streams AND halves the serving-checkpoint
+        restore transfer. Call BEFORE `quantize_p2g_int8` — on an
+        already-quantized tree the float dequant scales would be cast
+        too (int8 kernels themselves are untouched). Rebuilds the
+        cached jit programs."""
+        dtype = jnp.dtype(dtype)
+
+        def cast_tree(t):
+            return jax.tree.map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+
+        # jit the walks: eager per-leaf casts pay ~0.8 s/op dispatch
+        # through the tunnel
+        self.sam_params = jax.jit(cast_tree)(self.sam_params)
+        self.p2g_params = jax.jit(cast_tree)(self.p2g_params)
+        self.compute_dtype = dtype
+        self.__dict__.pop("_sam_jit", None)
+        self.__dict__.pop("_p2g_jit", None)
 
     # ------------------------------------------------------------- builders
 
@@ -248,10 +277,15 @@ class MaskHeuristics:
         pts[0, :n, 1] = points_xy[:n, 1] / h
         lbl[0, :n] = 1.0
 
-        masks, iou = self._sam_jit(self.sam_params, jnp.asarray(img[None]),
+        # image in compute dtype (the encoder is ~95% of SAM's FLOPs);
+        # point coords stay f32 — bf16's 8-bit mantissa would quantize
+        # 1024-px coordinates to ~4 px
+        masks, iou = self._sam_jit(self.sam_params,
+                                   jnp.asarray(img[None],
+                                               self.compute_dtype),
                                    jnp.asarray(pts), jnp.asarray(lbl))
         # single-mask output = mask token 0 (reference multimask_output=False)
-        logits = np.asarray(masks)[0, 0]
+        logits = np.asarray(masks, np.float32)[0, 0]
         mask = cv2.resize(logits, (w, h),
                           interpolation=cv2.INTER_LINEAR) > 0
         return mask
@@ -411,6 +445,7 @@ class MaskHeuristics:
             "clip_cfg": dataclasses.asdict(self.clip_cfg),
             "vae_cfg": dataclasses.asdict(self.vae_cfg),
             "max_points": self.max_points,
+            "compute_dtype": str(jnp.dtype(self.compute_dtype)),
         }
         rmbg = getattr(self.matting_fn, "rmbg_params", None)
         if self.matting_fn is not None and rmbg is None:
@@ -445,14 +480,19 @@ class MaskHeuristics:
                 cfg_from_dict(RMBGConfig, meta["rmbg_cfg"]),
                 input_size=int(meta["rmbg_input_size"]),
                 threshold=float(meta["rmbg_threshold"]))
-        return cls(trees["sam"], cfg_from_dict(SAMConfig, meta["sam_cfg"]),
-                   trees["p2g"],
-                   cfg_from_dict(Pix2GestaltConfig, meta["p2g_cfg"]),
-                   clip_cfg=cfg_from_dict(CLIPVisionConfig,
-                                          meta["clip_cfg"]),
-                   vae_cfg=cfg_from_dict(VAEConfig, meta["vae_cfg"]),
-                   matting_fn=matting_fn,
-                   max_points=int(meta["max_points"]))
+        mh = cls(trees["sam"], cfg_from_dict(SAMConfig, meta["sam_cfg"]),
+                 trees["p2g"],
+                 cfg_from_dict(Pix2GestaltConfig, meta["p2g_cfg"]),
+                 clip_cfg=cfg_from_dict(CLIPVisionConfig,
+                                        meta["clip_cfg"]),
+                 vae_cfg=cfg_from_dict(VAEConfig, meta["vae_cfg"]),
+                 matting_fn=matting_fn,
+                 max_points=int(meta["max_points"]))
+        # bf16 serving states carry their compute dtype (the leaves are
+        # already cast in the checkpoint — only the input-cast policy
+        # needs restoring)
+        mh.compute_dtype = jnp.dtype(meta.get("compute_dtype", "float32"))
+        return mh
 
     def pix2gestalt_completion(self, image_rgb: np.ndarray,
                                visible_mask: np.ndarray,
@@ -466,9 +506,10 @@ class MaskHeuristics:
                        interpolation=cv2.INTER_AREA)
         m01 = (m > 127).astype(np.float32)[..., None]
         out = self._p2g_jit(self.p2g_params, jax.random.PRNGKey(seed),
-                            jnp.asarray(img[None]), jnp.asarray(m01[None]),
+                            jnp.asarray(img[None], self.compute_dtype),
+                            jnp.asarray(m01[None], self.compute_dtype),
                             self.p2g_cfg.ddim_steps)
-        return np.asarray(out)[0]
+        return np.asarray(out, np.float32)[0]
 
     # ---------------------------------------------------------------- public
 

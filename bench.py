@@ -486,6 +486,12 @@ def bench_heuristics():
     # int4 (halves them again, nibble-packed), "w8a8" = dynamic W8A8.
     # Opt-in, parity-breaking — same ladder policy as DeepCache.
     int8_env = os.environ.get("AMODAL_INT8_P2G", "")
+    # AMODAL_HEUR_DTYPE=bfloat16: cast the serving stack (SAM encoder +
+    # p2g DDIM path) — halves the param bytes the 100-step loop streams
+    # and the serving-ckpt restore transfer. Opt-in, parity-breaking —
+    # same ladder policy as int8/DeepCache (the flagship pipeline
+    # already serves bf16 by default; the demo stack stayed f32).
+    heur_dtype = os.environ.get("AMODAL_HEUR_DTYPE", "")
     if quality_on and proxy_tag != " proxy=trained":
         mh.p2g_params = dict(mh.p2g_params)
         mh.p2g_params["unet"] = jax.jit(_jitter_tree)(mh.p2g_params["unet"])
@@ -503,16 +509,19 @@ def bench_heuristics():
     sam_first_s = time.perf_counter() - t0
 
     quality = None
-    if quality_on and (dc or int8_env):
+    if quality_on and (dc or int8_env or heur_dtype):
         # exact-path completion for the optimized-knob delta, computed
         # BEFORE the deep-cache program is built / the params are
-        # quantized (the p2g jit is a cached property keyed on the config)
+        # quantized / the stack is cast (the p2g jit is a cached
+        # property keyed on the config)
         saved = mh.p2g_cfg
         mh.p2g_cfg = dataclasses.replace(saved, ddim_deep_cache=None)
         mh.__dict__.pop("_p2g_jit", None)
         exact = mh.pix2gestalt_completion(image, visible)
         mh.p2g_cfg = saved
         mh.__dict__.pop("_p2g_jit", None)
+    if heur_dtype:
+        mh.cast_to(jnp.dtype(heur_dtype))  # before int8: scales stay f32
     if int8_env:
         mh.quantize_p2g_int8(weight_only=(int8_env != "w8a8"),
                              bits=4 if int8_env == "w4" else 8)
@@ -526,7 +535,7 @@ def bench_heuristics():
     # and a warm start must land <180 s
     first_pixel_s = time.perf_counter() - _BENCH_T0
     assert np.isfinite(completion).all()
-    if quality is None and quality_on and (dc or int8_env):
+    if quality is None and quality_on and (dc or int8_env or heur_dtype):
         d = np.abs(exact - completion)
         quality = {"completion_max_abs": round(float(d.max()), 6),
                    "completion_mean_abs": round(float(d.mean()), 6)}
@@ -547,6 +556,7 @@ def bench_heuristics():
                   + (f" deepcache={dc_env}" if dc_env else "")
                   + (f" int8={'w4' if int8_env == 'w4' else 'wo' if int8_env != 'w8a8' else 'w8a8'}"
                      if int8_env else "")
+                  + (f" dtype={heur_dtype}" if heur_dtype else "")
                   + proxy_tag
                   + f"; first-call compile "
                   f"sam {sam_first_s:.0f}s p2g {p2g_first_s:.0f}s)",

@@ -40,4 +40,14 @@ run 4800 "p2g trained-proxy verdict: wo-int8 + deepcache5 (razor-margin random-P
 run 4800 "p2g trained-proxy verdict: deepcache5 alone" /tmp/b23_p2g_dc5.log \
   $NP $Q AMODAL_BENCH_HEURISTICS=1 AMODAL_DEEPCACHE_P2G=5 python bench.py
 
+# --- NEW r5 knob: bf16 heuristics serving stack (cast_to) ---
+run 4800 "p2g trained-proxy verdict: bf16 stack (new r5 knob)" /tmp/b23_p2g_bf16q.log \
+  $NP $Q AMODAL_BENCH_HEURISTICS=1 AMODAL_HEUR_DTYPE=bfloat16 python bench.py
+
+run 4800 "heuristics FULL-SIZE perf: bf16 stack (vs 4.1 s exact f32)" /tmp/b23_p2g_bf16perf.log \
+  $NP AMODAL_BENCH_HEURISTICS=1 AMODAL_HEUR_DTYPE=bfloat16 python bench.py
+
+run 4800 "heuristics FULL-SIZE perf: bf16 + deepcache5 stack" /tmp/b23_p2g_bf16dc5.log \
+  $NP AMODAL_BENCH_HEURISTICS=1 AMODAL_HEUR_DTYPE=bfloat16 AMODAL_DEEPCACHE_P2G=5 python bench.py
+
 runbook_done

@@ -277,3 +277,39 @@ def test_heuristics_serving_roundtrip(rng, tmp_path):
     # matting hook restored and runnable
     m = mh2.matting_fn(np.asarray(ref))
     assert m.shape == ref.shape[:2] and set(np.unique(m)) <= {0.0, 1.0}
+
+
+def test_heuristics_bf16_cast_and_serving_roundtrip(rng, tmp_path):
+    """cast_to(bf16): the opt-in serving dtype (r5) — params cast, the
+    completion stays finite/in-range, and the compute dtype plus the
+    cast leaves round-trip through save_serving/load_serving so a
+    restored bf16 stack reproduces the bf16 output bit-exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.heuristics.mask_heuristics import \
+        MaskHeuristics
+
+    mh = MaskHeuristics.init_random(jax.random.PRNGKey(0), tiny=True)
+    mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=2)
+    mh.cast_to(jnp.bfloat16)
+    w = mh.p2g_params["unet"]["input_blocks"]["0"]["0"]["w"]
+    assert w.dtype == jnp.bfloat16
+
+    image = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    visible = (rng.random((64, 64)) > 0.5)
+    points = np.asarray([[20, 20], [40, 40]], np.float32)
+    # SAM path runs in bf16 too (prompt coords stay f32)
+    m = mh.sam_visible_mask(image, points)
+    assert m.dtype == np.bool_ and m.shape == (64, 64)
+    ref = mh.pix2gestalt_completion(image, visible)
+    assert ref.dtype == np.float32  # outputs surface as f32
+    assert np.isfinite(ref).all() and ref.min() >= 0 and ref.max() <= 1
+
+    path = str(tmp_path / "heur_bf16")
+    mh.save_serving(path)
+    mh2 = MaskHeuristics.load_serving(path)
+    assert mh2.compute_dtype == jnp.bfloat16
+    got = mh2.pix2gestalt_completion(image, visible)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
