@@ -419,10 +419,16 @@ class MaskHeuristics:
         read-bound loop, larger per-weight quant error (per-group scales,
         gate with the quality proxy). Stacks with `ddim_deep_cache`."""
         from ..ops.quant import quantize_diffusion_int8
+        # wide-site thresholds scale with the UNet width so narrow
+        # trained proxies quantize proportionally the same sites as the
+        # full SD body (a vacuously-unquantized proxy would PASS any gate)
+        ws = self.p2g_cfg.model_channels / 320.0
         self.p2g_params = dict(self.p2g_params)
         self.p2g_params["unet"] = jax.jit(
-            lambda t: quantize_diffusion_int8(t, weight_only=weight_only,
-                                              bits=bits)
+            lambda t: quantize_diffusion_int8(
+                t, weight_only=weight_only, bits=bits,
+                min_conv_fan=max(64, int(512 * ws)),
+                min_lin_dim=max(32, int(256 * ws)))
         )(self.p2g_params["unet"])
         self.__dict__.pop("_p2g_jit", None)  # rebuild the cached program
 

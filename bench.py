@@ -268,9 +268,16 @@ def bench_depthfm():
         # jit the tree walk: eagerly it is several hundred one-at-a-time
         # op dispatches (~0.8 s/op through the tunnel)
         params_exact = params if quality_on else None
+        # wide-site thresholds scale with model width so the NARROW
+        # trained proxy quantizes the same sites (proportionally) as the
+        # full SD body — otherwise the proxy's int8 verdict is vacuous
+        # (most of its convs/linears sit under the full-size thresholds)
+        _ws = model.config.model_channels / 320.0
         params = jax.jit(lambda t: quantize_diffusion_int8(
             t, weight_only=(int8_env in ("wo", "w4")),
-            bits=4 if int8_env == "w4" else 8))(params)
+            bits=4 if int8_env == "w4" else 8,
+            min_conv_fan=max(64, int(512 * _ws)),
+            min_lin_dim=max(32, int(256 * _ws))))(params)
         quant_tag = (" int8=" + ("w4" if int8_env == "w4" else
                                  "wo" if int8_env == "wo" else "w8a8"))
 
