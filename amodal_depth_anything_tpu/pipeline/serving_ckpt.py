@@ -34,9 +34,11 @@ _META = "serving_meta.json"
 # tunneled TPU, per-array dispatch pays a full roundtrip each (~0.5 s x
 # ~600 SAM leaves ~= the 305 s "8 MB/s" load_serving wall, round-4
 # VERDICT weak #3) while a single large device_put runs at the probed
-# link rate (~30 MB/s healthy). 256 MB bounds host-side copy overhead
-# and keeps peak extra host RAM to one chunk.
-_CHUNK_BYTES = 256 * 1024 * 1024
+# link rate. Chunk size from the v22 transfer probe (one session,
+# back-to-back): 64 MB chunks sustain 30.8 MB/s while a single 256 MB
+# put dropped to 16.0 MB/s (per-leaf lazy: 4.3 MB/s) — the tunnel
+# throttles very large single transfers, so 64 MB is the sweet spot.
+_CHUNK_BYTES = 64 * 1024 * 1024
 
 
 def bulk_to_device(tree, *, chunk_bytes: int = _CHUNK_BYTES):

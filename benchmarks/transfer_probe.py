@@ -17,9 +17,15 @@ back-to-back in one session (~±8% noise).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python benchmarks/transfer_probe.py` (script dir is not
+# the repo root)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
