@@ -442,6 +442,11 @@ def bench_heuristics():
         init_mode = "init_random"
         init_s = round(time.perf_counter() - _t, 1)
         if serving_dir:
+            # seed in the serving dtype: a bf16 checkpoint halves the
+            # restore transfer (AMODAL_HEUR_DTYPE rides through
+            # save_serving meta)
+            if os.environ.get("AMODAL_HEUR_DTYPE", ""):
+                mh.cast_to(jnp.dtype(os.environ["AMODAL_HEUR_DTYPE"]))
             # multi-GB device->host Orbax fetch — minutes through a
             # degraded tunnel; timed separately so the breakdown does
             # not misattribute checkpoint-write wall to param init
