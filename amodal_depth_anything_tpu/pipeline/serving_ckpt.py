@@ -73,18 +73,32 @@ def bulk_to_device(tree, *, chunk_bytes: int = _CHUNK_BYTES):
         plans[i] = (cid, off, a.size, a.shape)
         groups[dt] = (cid, off + a.size)
 
-    host_bufs = [np.concatenate(parts) if len(parts) > 1 else parts[0]
-                 for _, parts in chunks]
-    dev_bufs = [jax.device_put(b) for b in host_bufs]
+    # Per-chunk transfer + per-chunk split program. One whole-tree split
+    # jit would hold every chunk AND every output leaf live at once —
+    # 2x the stack's bytes transiently, which OOMed the 16 GB chip on
+    # the ~7 GB f32 heuristics stack (v22 row 3). XLA cannot alias a
+    # donated buffer into slice outputs, so donation does not help;
+    # instead each chunk is transferred, sliced by its own small jit,
+    # and dropped (the async computation keeps it alive until executed),
+    # bounding the transient to leaves-so-far + one chunk. The tiny
+    # slice programs hit the persistent compile cache on re-runs.
+    per_chunk: list = [[] for _ in chunks]
+    for i, (cid, off, size, shape) in enumerate(plans):
+        per_chunk[cid].append((i, off, size, shape))
 
-    def split(bufs):
-        out = []
-        for cid, off, size, shape in plans:
-            out.append(jax.lax.dynamic_slice_in_dim(
-                bufs[cid], off, size).reshape(shape))
-        return out
+    new_leaves: list = [None] * n
+    for cid, (_, parts) in enumerate(chunks):
+        buf = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        dbuf = jax.device_put(buf)
 
-    new_leaves = jax.jit(split, donate_argnums=0)(dev_bufs)
+        def split_one(b, plan=tuple(per_chunk[cid])):
+            return [jax.lax.dynamic_slice_in_dim(b, off, size)
+                    .reshape(shape) for _, off, size, shape in plan]
+
+        outs = jax.jit(split_one)(dbuf)
+        for (i, *_), o in zip(per_chunk[cid], outs):
+            new_leaves[i] = o
+        del dbuf  # refcount drop; freed once the split has consumed it
     return jax.tree.unflatten(treedef, new_leaves)
 
 

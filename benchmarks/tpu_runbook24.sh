@@ -15,6 +15,13 @@ wait_for v23
 NP="AMODAL_BENCH_NO_PROBE=1"
 BF="AMODAL_HEUR_DTYPE=bfloat16 AMODAL_HEUR_SERVING=/tmp/heur_serving_bf16"
 
+# f32 bulk-restore mechanism check (re-run of v22 row 3 after the
+# per-chunk split fix — the whole-tree split jit OOMed 16 GB HBM at 2x
+# the 7 GB stack): param_init should absorb the transfer at ~bulk rate
+# and sam_first should drop from ~305 s (lazy) to compile-hit time.
+run 3600 "f32 load_serving with per-chunk BULK restore (v22 row 3 redo)" /tmp/b24_f32load.log \
+  $NP AMODAL_HEUR_SERVING=/tmp/heur_serving_tpu AMODAL_BENCH_HEURISTICS=1 python bench.py
+
 run 4800 "bf16 serving ckpt SEED (init + cast + save + bf16 compile-cache warm)" /tmp/b24_seed.log \
   $NP $BF AMODAL_BENCH_HEURISTICS=1 python bench.py
 
