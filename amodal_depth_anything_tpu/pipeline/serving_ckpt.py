@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -86,19 +87,33 @@ def bulk_to_device(tree, *, chunk_bytes: int = _CHUNK_BYTES):
     for i, (cid, off, size, shape) in enumerate(plans):
         per_chunk[cid].append((i, off, size, shape))
 
+    debug = os.environ.get("AMODAL_RESTORE_DEBUG", "") == "1"
+    t_concat = t_put = t_split = 0.0
     new_leaves: list = [None] * n
     for cid, (_, parts) in enumerate(chunks):
+        t0 = time.perf_counter()
         buf = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        t1 = time.perf_counter()
         dbuf = jax.device_put(buf)
 
         def split_one(b, plan=tuple(per_chunk[cid])):
             return [jax.lax.dynamic_slice_in_dim(b, off, size)
                     .reshape(shape) for _, off, size, shape in plan]
 
+        t2 = time.perf_counter()
         outs = jax.jit(split_one)(dbuf)
+        t3 = time.perf_counter()
+        t_concat += t1 - t0
+        t_put += t2 - t1
+        t_split += t3 - t2
         for (i, *_), o in zip(per_chunk[cid], outs):
             new_leaves[i] = o
         del dbuf  # refcount drop; freed once the split has consumed it
+    if debug:
+        import sys
+        print(f"bulk_to_device: {len(chunks)} chunks, "
+              f"concat {t_concat:.1f}s put-dispatch {t_put:.1f}s "
+              f"split-jit {t_split:.1f}s", file=sys.stderr, flush=True)
     return jax.tree.unflatten(treedef, new_leaves)
 
 
@@ -135,7 +150,13 @@ def restore_serving_state(path: str, *, expect_kind: str):
     if kind != expect_kind:
         raise ValueError(f"{path} holds a {kind!r} serving state, "
                          f"expected {expect_kind!r}")
+    t0 = time.perf_counter()
     trees = ocp.PyTreeCheckpointer().restore(os.path.join(path, "params"))
+    if os.environ.get("AMODAL_RESTORE_DEBUG", "") == "1":
+        import sys
+        print(f"restore: orbax host read "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
+              flush=True)
     if os.environ.get("AMODAL_BULK_RESTORE", "1") != "0":
         trees = bulk_to_device(trees)
     else:
