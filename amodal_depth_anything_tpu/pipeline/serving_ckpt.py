@@ -12,8 +12,20 @@ equivalent (its serving state is just the torch checkpoint; it has no
 post-load optimization to persist).
 
 Layout on disk:
-  <path>/params/         Orbax PyTree checkpoint (dtypes preserved)
+  <path>/params/             Orbax PyTree checkpoint (dtypes preserved)
+  <path>/flat/               restore-accelerator sidecar (round 5):
+      plan.json              leaf keys + (chunk, offset, size, shape)
+      chunk_<i>.bin          raw concatenated same-dtype leaf bytes
   <path>/serving_meta.json   pipeline kind + configs + runtime knobs
+
+Why the sidecar: restoring multi-GB states through the tunneled TPU was
+overhead-bound, not transfer-bound (runbooks v22-v26: link rate
+30.8 MB/s, effective restore 9.4 MB/s). The Orbax host read, the host
+re-concatenation, and ~one small split-program compile per 64 MB chunk
+each cost more than the bytes. The sidecar stores the chunk buffers
+EXACTLY as they are transferred (mmap-able raw bytes, no host rework)
+and the on-device split runs as a few GROUP programs (deterministic ->
+persistent-compile-cache hits) instead of one per chunk.
 """
 
 from __future__ import annotations
@@ -23,6 +35,8 @@ import json
 import os
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +44,7 @@ __all__ = ["save_serving_state", "restore_serving_state", "cfg_from_dict",
            "bulk_to_device"]
 
 _META = "serving_meta.json"
+_FLAT = "flat"
 
 # One eager transfer per ~chunk instead of one per leaf: through the
 # tunneled TPU, per-array dispatch pays a full roundtrip each (~0.5 s x
@@ -40,81 +55,259 @@ _META = "serving_meta.json"
 # put dropped to 16.0 MB/s (per-leaf lazy: 4.3 MB/s) — the tunnel
 # throttles very large single transfers, so 64 MB is the sweet spot.
 _CHUNK_BYTES = 64 * 1024 * 1024
+# On-device split-program granularity: one jit per <=group of chunks.
+# Whole-tree (one program) holds chunks + leaves live at once — 2x the
+# stack transiently, which OOMed the 16 GB chip on the ~7 GB f32 stack
+# (v22 row 3); per-chunk programs bound memory but cost ~one tunnel
+# compile per 64 MB (the v26 restore wall). Groups bound the transient
+# to leaves + ~1.5 GB while cutting program count ~24x.
+_GROUP_BYTES = 1536 * 1024 * 1024
 
 
-def bulk_to_device(tree, *, chunk_bytes: int = _CHUNK_BYTES):
-    """Host (numpy-leaf) pytree -> committed device pytree, transferring
-    same-dtype leaves concatenated into few large buffers.
+def _plan(leaves, chunk_bytes):
+    """Pack leaf order into same-dtype chunks of <= chunk_bytes.
 
-    The per-leaf lazy path (`jax.tree.map(jnp.asarray, tree)`) defers
-    each transfer to first use and pays per-op tunnel latency; this
-    packs leaves per dtype into <=chunk_bytes host buffers, issues one
-    eager `device_put` per buffer, and slices the leaves back out
-    on-device in a single donated jit (no second HBM copy)."""
-    import numpy as np
-
-    leaves, treedef = jax.tree.flatten(tree)
-    n = len(leaves)
-    # (chunk_id, offset, size) per leaf, grouped by dtype so slicing
-    # needs no bitcasts
-    plans = [None] * n
-    chunks = []
-    groups: dict = {}
+    Returns (plans, chunk_dtypes): plans[i] = (cid, offset, size, shape)
+    per leaf in tree-flatten order; chunk_dtypes[cid] = np.dtype."""
+    plans = [None] * len(leaves)
+    chunk_dtypes: list = []
+    open_chunks: dict = {}
     for i, leaf in enumerate(leaves):
         a = np.asarray(leaf)
         dt = a.dtype
-        per = max(1, chunk_bytes // max(a.dtype.itemsize, 1))
-        cur = groups.get(dt)
+        per = max(1, chunk_bytes // max(dt.itemsize, 1))
+        cur = open_chunks.get(dt)
         if cur is None or cur[1] + a.size > per:
-            chunks.append((dt, []))
-            groups[dt] = (len(chunks) - 1, 0)
-            cur = groups[dt]
-        cid, off = cur
-        chunks[cid][1].append(a.ravel())
-        plans[i] = (cid, off, a.size, a.shape)
-        groups[dt] = (cid, off + a.size)
+            chunk_dtypes.append(dt)
+            open_chunks[dt] = [len(chunk_dtypes) - 1, 0]
+            cur = open_chunks[dt]
+        plans[i] = (cur[0], cur[1], a.size, a.shape)
+        cur[1] += a.size
+    return plans, chunk_dtypes
 
-    # Per-chunk transfer + per-chunk split program. One whole-tree split
-    # jit would hold every chunk AND every output leaf live at once —
-    # 2x the stack's bytes transiently, which OOMed the 16 GB chip on
-    # the ~7 GB f32 heuristics stack (v22 row 3). XLA cannot alias a
-    # donated buffer into slice outputs, so donation does not help;
-    # instead each chunk is transferred, sliced by its own small jit,
-    # and dropped (the async computation keeps it alive until executed),
-    # bounding the transient to leaves-so-far + one chunk. The tiny
-    # slice programs hit the persistent compile cache on re-runs.
-    per_chunk: list = [[] for _ in chunks]
+
+def _split_groups(host_bufs, plans, treedef, *, group_bytes, debug=False):
+    """device_put chunk buffers and slice leaves back out with one jit
+    per <=group_bytes worth of chunks (deterministic programs — repeat
+    restores hit the persistent compile cache)."""
+    per_chunk: list = [[] for _ in host_bufs]
     for i, (cid, off, size, shape) in enumerate(plans):
         per_chunk[cid].append((i, off, size, shape))
 
-    debug = os.environ.get("AMODAL_RESTORE_DEBUG", "") == "1"
-    t_concat = t_put = t_split = 0.0
-    new_leaves: list = [None] * n
-    for cid, (_, parts) in enumerate(chunks):
+    groups: list = []
+    acc, acc_bytes = [], 0
+    for cid, buf in enumerate(host_bufs):
+        if acc and acc_bytes + buf.nbytes > group_bytes:
+            groups.append(acc)
+            acc, acc_bytes = [], 0
+        acc.append(cid)
+        acc_bytes += buf.nbytes
+    if acc:
+        groups.append(acc)
+
+    t_put = t_split = 0.0
+    new_leaves: list = [None] * len(plans)
+    for cids in groups:
         t0 = time.perf_counter()
-        buf = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        dbufs = [jax.device_put(host_bufs[c]) for c in cids]
         t1 = time.perf_counter()
-        dbuf = jax.device_put(buf)
 
-        def split_one(b, plan=tuple(per_chunk[cid])):
-            return [jax.lax.dynamic_slice_in_dim(b, off, size)
-                    .reshape(shape) for _, off, size, shape in plan]
+        def split_group(bs, plan=tuple(
+                (k, tuple(per_chunk[c])) for k, c in enumerate(cids))):
+            out = []
+            for k, entries in plan:
+                for _, off, size, shape in entries:
+                    out.append(jax.lax.dynamic_slice_in_dim(
+                        bs[k], off, size).reshape(shape))
+            return out
 
+        outs = jax.jit(split_group)(dbufs)
         t2 = time.perf_counter()
-        outs = jax.jit(split_one)(dbuf)
-        t3 = time.perf_counter()
-        t_concat += t1 - t0
-        t_put += t2 - t1
-        t_split += t3 - t2
-        for (i, *_), o in zip(per_chunk[cid], outs):
-            new_leaves[i] = o
-        del dbuf  # refcount drop; freed once the split has consumed it
+        t_put += t1 - t0
+        t_split += t2 - t1
+        j = 0
+        for c in cids:
+            for (i, *_) in per_chunk[c]:
+                new_leaves[i] = outs[j]
+                j += 1
+        del dbufs  # refcount drop; freed once the split has consumed them
     if debug:
         import sys
-        print(f"bulk_to_device: {len(chunks)} chunks, "
-              f"concat {t_concat:.1f}s put-dispatch {t_put:.1f}s "
-              f"split-jit {t_split:.1f}s", file=sys.stderr, flush=True)
+        print(f"split_groups: {len(host_bufs)} chunks in {len(groups)} "
+              f"programs, put-dispatch {t_put:.1f}s split-jit "
+              f"{t_split:.1f}s", file=sys.stderr, flush=True)
     return jax.tree.unflatten(treedef, new_leaves)
+
+
+def bulk_to_device(tree, *, chunk_bytes: int = _CHUNK_BYTES,
+                   group_bytes: int = _GROUP_BYTES):
+    """Host (numpy-leaf) pytree -> committed device pytree, transferring
+    same-dtype leaves concatenated into few large buffers (the per-leaf
+    lazy path — `jax.tree.map(jnp.asarray, tree)` — defers each transfer
+    to first use and pays per-op tunnel latency)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    plans, chunk_dtypes = _plan(leaves, chunk_bytes)
+    debug = os.environ.get("AMODAL_RESTORE_DEBUG", "") == "1"
+
+    t0 = time.perf_counter()
+    parts: list = [[] for _ in chunk_dtypes]
+    for i, leaf in enumerate(leaves):
+        parts[plans[i][0]].append(np.asarray(leaf).ravel())
+    host_bufs = [np.concatenate(p) if len(p) > 1 else p[0] for p in parts]
+    if debug:
+        import sys
+        print(f"bulk_to_device: host concat "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
+              flush=True)
+    return _split_groups(host_bufs, plans, treedef,
+                         group_bytes=group_bytes, debug=debug)
+
+
+def bulk_to_host(tree, *, chunk_bytes: int = _CHUNK_BYTES,
+                 group_bytes: int = _GROUP_BYTES):
+    """Device pytree -> (host pytree of views, host chunk buffers, plans).
+
+    The save-side mirror of `bulk_to_device`: per-leaf `np.asarray`
+    fetches pay one tunnel roundtrip each (the d2h version of the 305 s
+    lazy-restore wall), so leaves are concatenated ON DEVICE into the
+    same chunk layout the flat sidecar stores (one jit per group of
+    chunks, deterministic -> compile-cache-friendly), each chunk is
+    fetched as one bulk transfer, and the host leaves are ZERO-COPY
+    views into the chunk buffers."""
+    leaves, treedef = jax.tree.flatten(tree)
+    plans, chunk_dtypes = _plan(leaves, chunk_bytes)
+    debug = os.environ.get("AMODAL_RESTORE_DEBUG", "") == "1"
+
+    per_chunk: list = [[] for _ in chunk_dtypes]
+    for i, (cid, off, size, shape) in enumerate(plans):
+        per_chunk[cid].append(i)
+    chunk_nbytes = [sum(leaves[i].dtype.itemsize * leaves[i].size
+                        for i in idxs) for idxs in per_chunk]
+
+    groups: list = []
+    acc, acc_b = [], 0
+    for cid in range(len(chunk_dtypes)):
+        if acc and acc_b + chunk_nbytes[cid] > group_bytes:
+            groups.append(acc)
+            acc, acc_b = [], 0
+        acc.append(cid)
+        acc_b += chunk_nbytes[cid]
+    if acc:
+        groups.append(acc)
+
+    t_cat = t_fetch = 0.0
+    host_bufs: list = [None] * len(chunk_dtypes)
+    for cids in groups:
+        t0 = time.perf_counter()
+
+        def concat_group(ls, cids=tuple(cids)):
+            return [jnp.concatenate([ls[i].ravel() for i in per_chunk[c]])
+                    if len(per_chunk[c]) > 1 else ls[per_chunk[c][0]].ravel()
+                    for c in cids]
+
+        dev_chunks = jax.jit(concat_group)(leaves)
+        t1 = time.perf_counter()
+        for c, d in zip(cids, dev_chunks):
+            host_bufs[c] = np.asarray(d)
+        del dev_chunks
+        t2 = time.perf_counter()
+        t_cat += t1 - t0
+        t_fetch += t2 - t1
+    if debug:
+        import sys
+        print(f"bulk_to_host: {len(chunk_dtypes)} chunks in "
+              f"{len(groups)} programs, concat-jit {t_cat:.1f}s "
+              f"fetch {t_fetch:.1f}s", file=sys.stderr, flush=True)
+
+    host_leaves: list = [None] * len(leaves)
+    for i, (cid, off, size, shape) in enumerate(plans):
+        host_leaves[i] = host_bufs[cid][off:off + size].reshape(shape)
+    return jax.tree.unflatten(treedef, host_leaves), host_bufs, plans
+
+
+# ------------------------------------------------------- flat key helpers
+# plain nested dicts only (repo convention for param trees)
+
+
+def _flatten_keys(tree) -> list:
+    import jax.tree_util as jtu
+    return ["/".join(str(p.key) for p in path)
+            for path, _ in jtu.tree_flatten_with_path(tree)[0]]
+
+
+def _unflatten_keys(keys, leaves) -> dict:
+    tree: dict = {}
+    for key, leaf in zip(keys, leaves):
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return tree
+
+
+def _np_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def _write_flat(path: str, host_tree, host_bufs, plans) -> None:
+    """Write the restore-accelerator sidecar: the chunk buffers exactly
+    as `bulk_to_host` fetched them (restore transfers them verbatim),
+    plus the slicing plan."""
+    keys = _flatten_keys(host_tree)
+    leaves = jax.tree.leaves(host_tree)
+
+    flat_dir = os.path.join(path, _FLAT)
+    os.makedirs(flat_dir, exist_ok=True)
+    for c, buf in enumerate(host_bufs):
+        tmp = os.path.join(flat_dir, f"chunk_{c}.bin.tmp")
+        buf.tofile(tmp)
+        os.replace(tmp, os.path.join(flat_dir, f"chunk_{c}.bin"))
+    plan_doc = {
+        "chunks": [{"file": f"chunk_{c}.bin", "dtype": str(b.dtype)}
+                   for c, b in enumerate(host_bufs)],
+        "leaves": [{"key": k, "cid": p[0], "off": p[1], "size": p[2],
+                    "shape": list(p[3]), "dtype": str(np.asarray(le).dtype)}
+                   for k, p, le in zip(keys, plans, leaves)],
+    }
+    tmp = os.path.join(flat_dir, "plan.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(plan_doc, f)
+    os.replace(tmp, os.path.join(flat_dir, "plan.json"))
+
+
+def _read_flat(path: str, *, group_bytes=_GROUP_BYTES) -> dict:
+    """Restore from the flat sidecar: raw file reads (no Orbax walk, no
+    host re-concatenation), chunked transfers, group split programs."""
+    flat_dir = os.path.join(path, _FLAT)
+    with open(os.path.join(flat_dir, "plan.json")) as f:
+        doc = json.load(f)
+    debug = os.environ.get("AMODAL_RESTORE_DEBUG", "") == "1"
+    t0 = time.perf_counter()
+    host_bufs = [np.fromfile(os.path.join(flat_dir, c["file"]),
+                             dtype=_np_dtype(c["dtype"]))
+                 for c in doc["chunks"]]
+    if debug:
+        import sys
+        print(f"flat restore: disk read {time.perf_counter() - t0:.1f}s "
+              f"({sum(b.nbytes for b in host_bufs) / 2**30:.2f} GiB)",
+              file=sys.stderr, flush=True)
+    plans = [(le["cid"], le["off"], le["size"], tuple(le["shape"]))
+             for le in doc["leaves"]]
+    keys = [le["key"] for le in doc["leaves"]]
+    # build an equal-structure skeleton so tree-flatten order matches
+    skeleton = _unflatten_keys(keys, list(range(len(keys))))
+    _, treedef = jax.tree.flatten(skeleton)
+    # tree-flatten sorts dict keys; remap plans into flatten order
+    order = jax.tree.leaves(skeleton)
+    plans = [plans[i] for i in order]
+    tree = _split_groups(host_bufs, plans, treedef,
+                         group_bytes=group_bytes, debug=debug)
+    return tree
 
 
 def cfg_from_dict(cls, d: dict):
@@ -127,13 +320,24 @@ def cfg_from_dict(cls, d: dict):
 
 
 def save_serving_state(path: str, trees: dict, meta: dict) -> None:
-    """trees: {name: param pytree}; meta: JSON-able construction info."""
+    """trees: {name: param pytree}; meta: JSON-able construction info.
+
+    Fetches the trees to host ONCE (multi-GB device->host through the
+    tunnel is the dominant save cost) and writes both formats from the
+    same host copy: the authoritative Orbax checkpoint and the flat
+    restore-accelerator sidecar."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    ocp.PyTreeCheckpointer().save(os.path.join(path, "params"), trees,
+    # one bulk device->host fetch shared by both formats (per-leaf
+    # fetches pay a tunnel roundtrip each — the d2h twin of the lazy-
+    # restore wall); the Orbax leaves are zero-copy views into the same
+    # chunk buffers the sidecar stores
+    host_trees, host_bufs, plans = bulk_to_host(trees)
+    ocp.PyTreeCheckpointer().save(os.path.join(path, "params"), host_trees,
                                   force=True)
+    _write_flat(path, host_trees, host_bufs, plans)
     with open(os.path.join(path, _META), "w") as f:
         json.dump(meta, f, indent=1)
 
@@ -141,8 +345,6 @@ def save_serving_state(path: str, trees: dict, meta: dict) -> None:
 def restore_serving_state(path: str, *, expect_kind: str):
     """-> (trees, meta). Leaves come back as device arrays with their
     saved dtypes (int8 kernels stay int8 — no cast)."""
-    import orbax.checkpoint as ocp
-
     path = os.path.abspath(path)
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
@@ -150,6 +352,11 @@ def restore_serving_state(path: str, *, expect_kind: str):
     if kind != expect_kind:
         raise ValueError(f"{path} holds a {kind!r} serving state, "
                          f"expected {expect_kind!r}")
+    bulk = os.environ.get("AMODAL_BULK_RESTORE", "1") != "0"
+    if bulk and os.path.exists(os.path.join(path, _FLAT, "plan.json")):
+        return _read_flat(path), meta
+
+    import orbax.checkpoint as ocp
     t0 = time.perf_counter()
     trees = ocp.PyTreeCheckpointer().restore(os.path.join(path, "params"))
     if os.environ.get("AMODAL_RESTORE_DEBUG", "") == "1":
@@ -157,7 +364,7 @@ def restore_serving_state(path: str, *, expect_kind: str):
         print(f"restore: orbax host read "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
               flush=True)
-    if os.environ.get("AMODAL_BULK_RESTORE", "1") != "0":
+    if bulk:
         trees = bulk_to_device(trees)
     else:
         # legacy per-leaf path (lazy through the axon plugin — first use

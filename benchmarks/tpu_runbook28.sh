@@ -1,23 +1,29 @@
 #!/bin/bash
-# Runbook v28 (round 5): attribute the 436.7 s clean bf16 restore wall
-# (v26 — far above the ~100 s transfer bound for ~2.9 GB at 30.8 MB/s).
-# Suspects: the ~45 per-chunk split-program compiles through the tunnel
-# (sub-2 s compiles do not persist in the cache), the Orbax host read,
-# or device_put dispatch. AMODAL_RESTORE_DEBUG=1 prints the phase
-# breakdown; back-to-back rows separate first-run (compile) from
-# second-run (cached) cost.
+# Runbook v28 (round 5): the flat-sidecar restore path, end to end.
+# v26 attribution: clean bf16 restore was 436.7 s (f32: 745.5 s) vs a
+# ~100 s transfer bound — overhead-bound (Orbax host read + host
+# re-concat + ~45 per-chunk split compiles), not transfer-bound.
+# serving_ckpt now (a) fetches ONE bulk copy at save (group concat
+# programs + chunk fetches) and writes raw chunk files alongside Orbax,
+# (b) restores from the sidecar with raw disk reads + group split
+# programs. Row A re-seeds the bf16 checkpoint through the new save
+# (AMODAL_RESTORE_DEBUG prints the phase breakdown); row B is the
+# COMPOSED warm start from the flat sidecar — the <150 s target row.
 cd /root/repo
 RUNBOOK=v28; OUT=benchmarks/RESULTS_r05_tpu.md
 source benchmarks/runbook_lib.sh
 rb_start
 wait_for v27
 NP="AMODAL_BENCH_NO_PROBE=1"
-BF="AMODAL_HEUR_DTYPE=bfloat16 AMODAL_HEUR_SERVING=/tmp/heur_serving_bf16 AMODAL_RESTORE_DEBUG=1"
+BF="AMODAL_HEUR_DTYPE=bfloat16 AMODAL_HEUR_SERVING=/tmp/heur_serving_bf16v2 AMODAL_RESTORE_DEBUG=1"
 
-run 3600 "bf16 restore PHASE BREAKDOWN run A (orbax read / concat / put / split-jit)" /tmp/b28_phaseA.log \
+run 4800 "bf16 serving SEED via bulk_to_host (writes flat sidecar; d2h phase breakdown)" /tmp/b28_seed.log \
   $NP $BF AMODAL_BENCH_HEURISTICS=1 python bench.py
 
-run 3600 "bf16 restore PHASE BREAKDOWN run B (back-to-back; split programs warm?)" /tmp/b28_phaseB.log \
+run 3600 "COMPOSED bf16 warm start from FLAT sidecar (target <150 s; phase breakdown)" /tmp/b28_composed.log \
   $NP $BF AMODAL_BENCH_HEURISTICS=1 python bench.py
+
+run 3600 "f32 load via flat sidecar? no — Orbax fallback control (old ckpt, no sidecar)" /tmp/b28_f32ctl.log \
+  $NP AMODAL_HEUR_SERVING=/tmp/heur_serving_tpu AMODAL_RESTORE_DEBUG=1 AMODAL_BENCH_HEURISTICS=1 python bench.py
 
 runbook_done

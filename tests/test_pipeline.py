@@ -444,3 +444,45 @@ def test_bulk_to_device_bit_exact(rng):
     for (p1, l1), (_, l2) in zip(flat_in, flat_out):
         assert l1.shape == l2.shape and l1.dtype == l2.dtype, p1
         np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
+
+
+def test_flat_sidecar_roundtrip(rng, tmp_path):
+    """save_serving_state writes the flat restore-accelerator sidecar
+    (raw chunk files + plan) and restore_serving_state prefers it —
+    leaves must come back bit-exact with dtypes/shapes preserved, in a
+    tree whose insertion order differs from sorted order (the plan is
+    stored in tree-flatten order and remapped on read)."""
+    import ml_dtypes
+
+    from amodal_depth_anything_tpu.pipeline.serving_ckpt import (
+        restore_serving_state, save_serving_state)
+
+    trees = {
+        "zeta": {"w": rng.standard_normal((37, 5)).astype(np.float32),
+                 "b": rng.standard_normal((5,)).astype(ml_dtypes.bfloat16)},
+        "alpha": {"k": rng.integers(-127, 127, (16, 3)).astype(np.int8),
+                  "nested": {"scale": np.float32(2.5).reshape(()),
+                             "mask": np.array([True, False, True])}},
+    }
+    path = str(tmp_path / "sc_flat")
+    save_serving_state(path, trees, {"kind": "test"})
+    import os as _os
+    assert _os.path.exists(_os.path.join(path, "flat", "plan.json"))
+
+    got, meta = restore_serving_state(path, expect_kind="test")
+    assert meta["kind"] == "test"
+    flat_in = jax.tree_util.tree_flatten_with_path(trees)[0]
+    flat_out = jax.tree_util.tree_flatten_with_path(got)[0]
+    for (p1, l1), (p2, l2) in zip(flat_in, flat_out):
+        assert p1 == p2
+        assert l1.shape == l2.shape and l1.dtype == l2.dtype, p1
+        np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
+
+    # and the Orbax fallback path still agrees when the sidecar is gone
+    import shutil
+    shutil.rmtree(_os.path.join(path, "flat"))
+    got2, _ = restore_serving_state(path, expect_kind="test")
+    for (p1, l1), (_, l2) in zip(flat_in,
+                                 jax.tree_util.tree_flatten_with_path(
+                                     got2)[0]):
+        np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1), p1)
