@@ -432,6 +432,26 @@ class MaskHeuristics:
         )(self.p2g_params["unet"])
         self.__dict__.pop("_p2g_jit", None)  # rebuild the cached program
 
+    def quantize_sam_int8(self, *, weight_only: bool = True,
+                          bits: int = 8) -> None:
+        """Opt-in weight-only int8 for the SAM stack (encoder + decoder
+        linears/convs via the quant-aware `linear`/`conv2d` dispatch).
+
+        The image encoder is one forward per prompt — compute-bound, so
+        this is NOT a latency lever like the p2g loop; it exists to
+        shrink the bytes a serving checkpoint must push through the
+        tunnel at restore (vit-h is ~1.3 GB bf16 -> 0.65 GB int8).
+        The decoder's transposed-layout upscale kernels are skipped
+        (conv_transpose_same_stride reads `w` raw — it has no quant
+        dispatch) along with the tiny mask/iou output heads."""
+        from ..ops.quant import quantize_diffusion_int8
+        self.sam_params = jax.jit(
+            lambda t: quantize_diffusion_int8(
+                t, weight_only=weight_only, bits=bits,
+                skip_suffixes=("upscale_conv1", "upscale_conv2"))
+        )(self.sam_params)
+        self.__dict__.pop("_sam_jit", None)
+
     def save_serving(self, path: str) -> None:
         """Persist the READY-TO-SERVE heuristics stack (post conversion /
         int8 quantization) — same contract as the amodal/depthfm

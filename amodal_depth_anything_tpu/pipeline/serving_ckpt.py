@@ -86,22 +86,26 @@ def _plan(leaves, chunk_bytes):
     return plans, chunk_dtypes
 
 
-def _split_groups(host_bufs, plans, treedef, *, group_bytes, debug=False):
-    """device_put chunk buffers and slice leaves back out with one jit
-    per <=group_bytes worth of chunks (deterministic programs — repeat
-    restores hit the persistent compile cache)."""
-    per_chunk: list = [[] for _ in host_bufs]
+def _split_groups(next_buf, n_chunks, chunk_nbytes, plans, treedef, *,
+                  group_bytes, debug=False):
+    """Stream host chunk buffers (from `next_buf()`, in chunk order) to
+    device and slice leaves back out with one jit per <=group_bytes
+    worth of chunks. Transient device memory stays bounded at
+    leaves-so-far + one group (a whole-tree program OOMed at 2x the
+    stack, v22 row 3), and the group programs are deterministic —
+    repeat restores hit the persistent compile cache."""
+    per_chunk: list = [[] for _ in range(n_chunks)]
     for i, (cid, off, size, shape) in enumerate(plans):
         per_chunk[cid].append((i, off, size, shape))
 
     groups: list = []
     acc, acc_bytes = [], 0
-    for cid, buf in enumerate(host_bufs):
-        if acc and acc_bytes + buf.nbytes > group_bytes:
+    for cid in range(n_chunks):
+        if acc and acc_bytes + chunk_nbytes[cid] > group_bytes:
             groups.append(acc)
             acc, acc_bytes = [], 0
         acc.append(cid)
-        acc_bytes += buf.nbytes
+        acc_bytes += chunk_nbytes[cid]
     if acc:
         groups.append(acc)
 
@@ -109,7 +113,9 @@ def _split_groups(host_bufs, plans, treedef, *, group_bytes, debug=False):
     new_leaves: list = [None] * len(plans)
     for cids in groups:
         t0 = time.perf_counter()
-        dbufs = [jax.device_put(host_bufs[c]) for c in cids]
+        # async dispatch: the transfers execute while next_buf() reads
+        # the following chunks from disk (flat path's prefetch thread)
+        dbufs = [jax.device_put(next_buf()) for _ in cids]
         t1 = time.perf_counter()
 
         def split_group(bs, plan=tuple(
@@ -133,7 +139,7 @@ def _split_groups(host_bufs, plans, treedef, *, group_bytes, debug=False):
         del dbufs  # refcount drop; freed once the split has consumed them
     if debug:
         import sys
-        print(f"split_groups: {len(host_bufs)} chunks in {len(groups)} "
+        print(f"split_groups: {n_chunks} chunks in {len(groups)} "
               f"programs, put-dispatch {t_put:.1f}s split-jit "
               f"{t_split:.1f}s", file=sys.stderr, flush=True)
     return jax.tree.unflatten(treedef, new_leaves)
@@ -159,7 +165,9 @@ def bulk_to_device(tree, *, chunk_bytes: int = _CHUNK_BYTES,
         print(f"bulk_to_device: host concat "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
               flush=True)
-    return _split_groups(host_bufs, plans, treedef,
+    it = iter(host_bufs)
+    return _split_groups(lambda: next(it), len(host_bufs),
+                         [b.nbytes for b in host_bufs], plans, treedef,
                          group_bytes=group_bytes, debug=debug)
 
 
@@ -282,20 +290,36 @@ def _write_flat(path: str, host_tree, host_bufs, plans) -> None:
 
 def _read_flat(path: str, *, group_bytes=_GROUP_BYTES) -> dict:
     """Restore from the flat sidecar: raw file reads (no Orbax walk, no
-    host re-concatenation), chunked transfers, group split programs."""
+    host re-concatenation), chunked transfers, group split programs.
+    Disk reads run on a prefetch thread one chunk AHEAD of the transfer
+    loop, so the measured ~50 MB/s disk and the ~30 MB/s tunnel overlap
+    instead of adding (the restore floor is max of the two, not sum)."""
+    import queue
+    import threading
+
     flat_dir = os.path.join(path, _FLAT)
     with open(os.path.join(flat_dir, "plan.json")) as f:
         doc = json.load(f)
     debug = os.environ.get("AMODAL_RESTORE_DEBUG", "") == "1"
-    t0 = time.perf_counter()
-    host_bufs = [np.fromfile(os.path.join(flat_dir, c["file"]),
-                             dtype=_np_dtype(c["dtype"]))
-                 for c in doc["chunks"]]
-    if debug:
-        import sys
-        print(f"flat restore: disk read {time.perf_counter() - t0:.1f}s "
-              f"({sum(b.nbytes for b in host_bufs) / 2**30:.2f} GiB)",
-              file=sys.stderr, flush=True)
+
+    q: queue.Queue = queue.Queue(maxsize=3)
+
+    def reader():
+        try:
+            for c in doc["chunks"]:
+                q.put(np.fromfile(os.path.join(flat_dir, c["file"]),
+                                  dtype=_np_dtype(c["dtype"])))
+        except Exception as e:  # surfaces in the consumer
+            q.put(e)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    def next_buf():
+        item = q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
     plans = [(le["cid"], le["off"], le["size"], tuple(le["shape"]))
              for le in doc["leaves"]]
     keys = [le["key"] for le in doc["leaves"]]
@@ -305,9 +329,13 @@ def _read_flat(path: str, *, group_bytes=_GROUP_BYTES) -> dict:
     # tree-flatten sorts dict keys; remap plans into flatten order
     order = jax.tree.leaves(skeleton)
     plans = [plans[i] for i in order]
-    tree = _split_groups(host_bufs, plans, treedef,
+    n_chunks = len(doc["chunks"])
+    chunk_nbytes = [0] * n_chunks
+    for le in doc["leaves"]:
+        chunk_nbytes[le["cid"]] += le["size"] * \
+            _np_dtype(le["dtype"]).itemsize
+    return _split_groups(next_buf, n_chunks, chunk_nbytes, plans, treedef,
                          group_bytes=group_bytes, debug=debug)
-    return tree
 
 
 def cfg_from_dict(cls, d: dict):

@@ -441,18 +441,9 @@ def bench_heuristics():
                                         tiny=not on_tpu)
         init_mode = "init_random"
         init_s = round(time.perf_counter() - _t, 1)
-        if serving_dir:
-            # seed in the serving dtype: a bf16 checkpoint halves the
-            # restore transfer (AMODAL_HEUR_DTYPE rides through
-            # save_serving meta)
-            if os.environ.get("AMODAL_HEUR_DTYPE", ""):
-                mh.cast_to(jnp.dtype(os.environ["AMODAL_HEUR_DTYPE"]))
-            # multi-GB device->host Orbax fetch — minutes through a
-            # degraded tunnel; timed separately so the breakdown does
-            # not misattribute checkpoint-write wall to param init
-            _t = time.perf_counter()
-            mh.save_serving(serving_dir)
-            serving_seed_s = round(time.perf_counter() - _t, 1)
+        # (the serving-seed save happens AFTER the knob section below,
+        # so the checkpoint captures the fully transformed stack —
+        # bf16 cast + int8 weights; a restore then needs zero re-work)
     quality_on = os.environ.get("AMODAL_QUALITY", "") == "1"
     # trained p2g proxy (scripts/train_proxy.py --family p2g): real
     # SD-body topology at narrow width, DDPM-trained on the synthetic
@@ -537,6 +528,33 @@ def bench_heuristics():
     if int8_env:
         mh.quantize_p2g_int8(weight_only=(int8_env != "w8a8"),
                              bits=4 if int8_env == "w4" else 8)
+    # AMODAL_INT8_SAM=1: weight-only int8 SAM — a serving-checkpoint
+    # BYTES lever (vit-h 1.3 GB bf16 -> 0.65 GB), not a latency one.
+    # Quality readout: IoU of the visible mask vs the pre-quantization
+    # mask on the same prompts (masks are thresholded, so IoU — not a
+    # pixel delta — is the meaningful metric).
+    sam_iou = None
+    if os.environ.get("AMODAL_INT8_SAM", "") == "1":
+        if quality_on:
+            _vis_before = mh.sam_visible_mask(image, points)
+        mh.quantize_sam_int8()
+        if quality_on:
+            _vis_after = mh.sam_visible_mask(image, points)
+            inter = float(np.logical_and(_vis_before, _vis_after).sum())
+            union = float(np.logical_or(_vis_before, _vis_after).sum())
+            # two empty masks are identical, not disjoint
+            sam_iou = round(inter / union, 4) if union else 1.0
+    if serving_dir and init_mode == "init_random":
+        # multi-GB device->host fetch — minutes through a degraded
+        # tunnel; timed separately so the breakdown does not
+        # misattribute checkpoint-write wall to param init. Sits after
+        # the knob section so the checkpoint holds the READY stack
+        # (bf16 cast + int8 kernels); knob application on a later
+        # load_serving run is a no-op (already-quantized trees have no
+        # "w" leaves for the walker, casts are idempotent).
+        _t = time.perf_counter()
+        mh.save_serving(serving_dir)
+        serving_seed_s = round(time.perf_counter() - _t, 1)
 
     t0 = time.perf_counter()
     completion = mh.pix2gestalt_completion(image, visible)
@@ -551,6 +569,8 @@ def bench_heuristics():
         d = np.abs(exact - completion)
         quality = {"completion_max_abs": round(float(d.max()), 6),
                    "completion_mean_abs": round(float(d.mean()), 6)}
+    if sam_iou is not None:
+        quality = dict(quality or {}, sam_mask_iou=sam_iou)
 
     lat = []
     for _ in range(3):
@@ -569,6 +589,8 @@ def bench_heuristics():
                   + (f" int8={'w4' if int8_env == 'w4' else 'wo' if int8_env != 'w8a8' else 'w8a8'}"
                      if int8_env else "")
                   + (f" dtype={heur_dtype}" if heur_dtype else "")
+                  + (" int8-sam" if os.environ.get("AMODAL_INT8_SAM", "")
+                     == "1" else "")
                   + proxy_tag
                   + f"; first-call compile "
                   f"sam {sam_first_s:.0f}s p2g {p2g_first_s:.0f}s)",
