@@ -128,6 +128,14 @@ def _split_groups(next_buf, n_chunks, chunk_nbytes, plans, treedef, *,
             return out
 
         outs = jax.jit(split_group)(dbufs)
+        # HARD sync before dispatching the next group: dispatch is
+        # async, so without it the python loop enqueues every group's
+        # puts+splits while execution lags behind the slow transfers —
+        # all chunks AND all leaves get allocated up front (the 2x peak
+        # this grouping exists to avoid; OOMed the f32 stack, v28 row
+        # 3). One scalar fetch per ~1.5 GB group is noise; the disk
+        # prefetch thread keeps reading ahead during the wait.
+        float(jnp.sum(outs[0]))
         t2 = time.perf_counter()
         t_put += t1 - t0
         t_split += t2 - t1
