@@ -11,7 +11,9 @@ cd /root/repo
 RUNBOOK=v30; OUT=benchmarks/RESULTS_r05_tpu.md
 source benchmarks/runbook_lib.sh
 rb_start
-wait_for v29
+# rechained after the host reset wiped /tmp (v30 never ran): v32 must
+# finish first (it seeds the driver's compile cache on this box)
+wait_for v32
 NP="AMODAL_BENCH_NO_PROBE=1"
 ST="AMODAL_HEUR_DTYPE=bfloat16 AMODAL_INT8_P2G=1 AMODAL_INT8_SAM=1 AMODAL_DEEPCACHE_P2G=5 AMODAL_HEUR_SERVING=/tmp/heur_serving_min AMODAL_RESTORE_DEBUG=1"
 
