@@ -86,6 +86,51 @@ def _plan(leaves, chunk_bytes):
     return plans, chunk_dtypes
 
 
+def _split_on_host(next_buf, n_chunks, per_chunk, plans, treedef, *,
+                   debug=False):
+    """AMODAL_FLAT_SPLIT=host: slice leaves as zero-copy NUMPY views of
+    the host chunk buffer and ship them with one batched
+    `jax.device_put(list)` per chunk — no on-device split programs at
+    all. Rationale (runbook v30): with the compile cache warm the
+    device-split restore is NOT byte-bound (put-dispatch 23 s for
+    2.3 GB) but split-PROGRAM-bound (124.7 s to reload two giant
+    hundreds-of-outputs executables; 906 s cold). Batched device_put
+    pays neither compile nor executable-deserialize cost, and the
+    transfers pipeline inside one dispatch (the old 4.3 MB/s "per-leaf"
+    number was N sequential put+sync roundtrips — transfer_probe.py).
+    Transient memory is bounded by construction: leaves land in their
+    final buffers, the chunk itself never reaches the device."""
+    t0 = time.perf_counter()
+    new_leaves: list = [None] * len(plans)
+    lasts = []
+    for cid in range(n_chunks):
+        buf = next_buf()
+        entries = per_chunk[cid]
+        views = [buf[off:off + size].reshape(shape)
+                 for (_, off, size, shape) in entries]
+        devs = jax.device_put(views)
+        for (i, *_), d in zip(entries, devs):
+            new_leaves[i] = d
+        if devs:
+            lasts = devs[-1:]
+    t_put = time.perf_counter() - t0
+    # hard sync on the final transfer: device_put is async — without it
+    # the caller would time dispatch, not arrival. One scalar fetch
+    # (the repo's sync primitive; block_until_ready is unreliable
+    # through the tunnel) — h2d copies to the one device drain FIFO, so
+    # the last leaf arriving bounds the rest; consumers of any leaf
+    # block on its own transfer regardless, this sync is for timing.
+    for d in lasts:
+        float(jnp.sum(d))
+    if debug:
+        import sys
+        print(f"split_on_host: {n_chunks} chunks, {len(plans)} leaves, "
+              f"put-dispatch {t_put:.1f}s sync "
+              f"{time.perf_counter() - t0 - t_put:.1f}s",
+              file=sys.stderr, flush=True)
+    return jax.tree.unflatten(treedef, new_leaves)
+
+
 def _split_groups(next_buf, n_chunks, chunk_nbytes, plans, treedef, *,
                   group_bytes, debug=False):
     """Stream host chunk buffers (from `next_buf()`, in chunk order) to
@@ -97,6 +142,10 @@ def _split_groups(next_buf, n_chunks, chunk_nbytes, plans, treedef, *,
     per_chunk: list = [[] for _ in range(n_chunks)]
     for i, (cid, off, size, shape) in enumerate(plans):
         per_chunk[cid].append((i, off, size, shape))
+
+    if os.environ.get("AMODAL_FLAT_SPLIT", "device") == "host":
+        return _split_on_host(next_buf, n_chunks, per_chunk, plans,
+                              treedef, debug=debug)
 
     groups: list = []
     acc, acc_bytes = [], 0

@@ -478,6 +478,21 @@ def test_flat_sidecar_roundtrip(rng, tmp_path):
         assert l1.shape == l2.shape and l1.dtype == l2.dtype, p1
         np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
 
+    # host-split mode (AMODAL_FLAT_SPLIT=host): zero-copy numpy views +
+    # batched device_put instead of on-device split programs — must be
+    # bit-exact and dtype/shape/path identical to the device-split path
+    _os.environ["AMODAL_FLAT_SPLIT"] = "host"
+    try:
+        got_h, _ = restore_serving_state(path, expect_kind="test")
+    finally:
+        del _os.environ["AMODAL_FLAT_SPLIT"]
+    for (p1, l1), (p2, l2) in zip(flat_in,
+                                  jax.tree_util.tree_flatten_with_path(
+                                      got_h)[0]):
+        assert p1 == p2
+        assert l1.shape == l2.shape and l1.dtype == l2.dtype, p1
+        np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1), p1)
+
     # and the Orbax fallback path still agrees when the sidecar is gone
     import shutil
     shutil.rmtree(_os.path.join(path, "flat"))
