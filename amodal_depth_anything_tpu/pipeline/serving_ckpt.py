@@ -143,7 +143,12 @@ def _split_groups(next_buf, n_chunks, chunk_nbytes, plans, treedef, *,
     for i, (cid, off, size, shape) in enumerate(plans):
         per_chunk[cid].append((i, off, size, shape))
 
-    if os.environ.get("AMODAL_FLAT_SPLIT", "device") == "host":
+    # host is the DEFAULT since the runbook v35 A/B (fresh-host min-
+    # bytes stack, back-to-back): host 66.9-72.1 s vs device-warm
+    # 86.7 s param_init — and the device mode's cold-restore cliff
+    # (906 s of split-program compiles, v30 row A) does not exist at
+    # all. AMODAL_FLAT_SPLIT=device keeps the split-program path.
+    if os.environ.get("AMODAL_FLAT_SPLIT", "host") == "host":
         return _split_on_host(next_buf, n_chunks, per_chunk, plans,
                               treedef, debug=debug)
 

@@ -478,10 +478,10 @@ def test_flat_sidecar_roundtrip(rng, tmp_path):
         assert l1.shape == l2.shape and l1.dtype == l2.dtype, p1
         np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
 
-    # host-split mode (AMODAL_FLAT_SPLIT=host): zero-copy numpy views +
-    # batched device_put instead of on-device split programs — must be
-    # bit-exact and dtype/shape/path identical to the device-split path
-    _os.environ["AMODAL_FLAT_SPLIT"] = "host"
+    # device-split mode (AMODAL_FLAT_SPLIT=device — the default `got`
+    # above exercised the host mode, default since runbook v35): group
+    # split programs must stay bit-exact and dtype/shape/path identical
+    _os.environ["AMODAL_FLAT_SPLIT"] = "device"
     try:
         got_h, _ = restore_serving_state(path, expect_kind="test")
     finally:
