@@ -217,6 +217,32 @@ def bulk_to_device(tree, *, chunk_bytes: int = _CHUNK_BYTES,
     plans, chunk_dtypes = _plan(leaves, chunk_bytes)
     debug = os.environ.get("AMODAL_RESTORE_DEBUG", "") == "1"
 
+    if os.environ.get("AMODAL_FLAT_SPLIT", "host") == "host":
+        # host-split default (runbook v35): batched device_put of the
+        # leaves themselves — the concat+split dance exists only to
+        # feed the device split programs, which host mode doesn't use.
+        # Batch in plan-order groups so dispatch stays chunk-granular.
+        t0 = time.perf_counter()
+        new_leaves: list = [None] * len(leaves)
+        by_chunk: list = [[] for _ in chunk_dtypes]
+        for i, p in enumerate(plans):
+            by_chunk[p[0]].append(i)
+        last = None
+        for idxs in by_chunk:
+            devs = jax.device_put([np.asarray(leaves[i]) for i in idxs])
+            for i, d in zip(idxs, devs):
+                new_leaves[i] = d
+                last = d
+        if last is not None:
+            float(jnp.sum(last))  # timing sync (see _split_on_host)
+        if debug:
+            import sys
+            print(f"bulk_to_device(host): {len(leaves)} leaves in "
+                  f"{len(by_chunk)} batches, "
+                  f"{time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        return jax.tree.unflatten(treedef, new_leaves)
+
     t0 = time.perf_counter()
     parts: list = [[] for _ in chunk_dtypes]
     for i, leaf in enumerate(leaves):

@@ -438,12 +438,19 @@ def test_bulk_to_device_bit_exact(rng):
               "scale": np.float32(0.5).reshape(())},
         "empty": np.zeros((0, 4), np.float32),
     }
-    out = bulk_to_device(tree, chunk_bytes=128)
+    import os as _os
     flat_in = jax.tree_util.tree_flatten_with_path(tree)[0]
-    flat_out = jax.tree_util.tree_flatten_with_path(out)[0]
-    for (p1, l1), (_, l2) in zip(flat_in, flat_out):
-        assert l1.shape == l2.shape and l1.dtype == l2.dtype, p1
-        np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
+    for mode in ("host", "device"):  # host = default since runbook v35
+        _os.environ["AMODAL_FLAT_SPLIT"] = mode
+        try:
+            out = bulk_to_device(tree, chunk_bytes=128)
+        finally:
+            del _os.environ["AMODAL_FLAT_SPLIT"]
+        flat_out = jax.tree_util.tree_flatten_with_path(out)[0]
+        for (p1, l1), (_, l2) in zip(flat_in, flat_out):
+            assert l1.shape == l2.shape and l1.dtype == l2.dtype, (mode, p1)
+            np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1),
+                                          (mode, p1))
 
 
 def test_flat_sidecar_roundtrip(rng, tmp_path):
