@@ -10,6 +10,14 @@ or build the pipeline from raw checkpoints:
         --base_ckpt work_dir/ckp/amodal_depth_anything_base.pth \
         --amodal_ckpt work_dir/ckp/amodal_dav2_vitl --dtype bfloat16
 
+DepthFM family with the gated serving recommendations (docs/ROADMAP.md
+"THE SERVING MENU" — trained-proxy quality-gate PASS points):
+
+    python -m amodal_depth_anything_tpu.cli.serve --family depthfm \
+        --depthfm_ckpt depthfm-v1.ckpt --vae_ckpt sd_vae.safetensors \
+        --deep_cache 2,2        # +21% throughput, 80 ms b1 p50
+    # latency-lever alternative: --int8 wo (weight-only UNet+VAE)
+
 Stdlib-only (ThreadingHTTPServer): concurrent POSTs are coalesced by
 `pipeline.MicroBatcher` into the ONE compiled batch shape — the device
 sees full static batches no matter how requests arrive. The reference
@@ -74,6 +82,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(depthfm) diffusers SD VAE weights")
     p.add_argument("--num_steps", type=int, default=4,
                    help="(depthfm) Euler ODE steps")
+    p.add_argument("--deep_cache", default=None,
+                   help="(depthfm) DeepCache 'interval[,groups]' over the "
+                        "Euler steps — opt-in, parity-breaking. The gated "
+                        "serving recommendation is '2,2' (trained-proxy "
+                        "PASS 0.043, 17.4 vs 14.3 img/s exact on v5e). "
+                        "'0' forces it off (overrides a --serving_state "
+                        "saved with caching on). Not available in "
+                        "--artifact mode (baked at export time).")
+    p.add_argument("--int8", default=None, choices=["wo", "dynamic"],
+                   help="(depthfm) int8 UNet+VAE: 'wo' = weight-only "
+                        "(gated PASS, the b1-latency lever), 'dynamic' = "
+                        "W8A8 run-time scales (b8 throughput lever; b1 "
+                        "latency regresses). Applied after load — do not "
+                        "combine with a --serving_state already saved "
+                        "quantized. Not available in --artifact mode.")
     p.add_argument("--size", type=int, default=None,
                    help="input square size (default: 518 amodal / 512 "
                         "depthfm — the depthfm size must be divisible by "
@@ -213,6 +236,13 @@ def main(argv=None) -> None:
     if args.family == "depthfm" and args.size % 8 != 0:
         raise SystemExit(f"--size {args.size} must be divisible by the VAE "
                          f"factor 8 for --family depthfm")
+    if (args.deep_cache is not None or args.int8) \
+            and args.family != "depthfm":
+        raise SystemExit("--deep_cache/--int8 are depthfm-family knobs")
+    if (args.deep_cache is not None or args.int8) and args.artifact:
+        raise SystemExit("--deep_cache/--int8 cannot be applied to a "
+                         "pre-compiled --artifact program — pass them to "
+                         "the --export_artifact build instead")
     if args.artifact:
         # AOT replica mode: deserialized program + params, no model
         # tracing (pipeline/aot.py). Params ride the serving-state dir.
@@ -273,6 +303,16 @@ def main(argv=None) -> None:
             dtype=jnp.dtype(args.dtype))
     else:
         raise SystemExit("need --serving_state or --base_ckpt/--amodal_ckpt")
+
+    if args.family == "depthfm" and not args.artifact:
+        # serving knobs (both lazily read at first-call trace time, so a
+        # post-construction override is safe): DeepCache splices into the
+        # Euler loop, int8 rewrites the param tree before any compile
+        if args.deep_cache is not None:
+            from ..ops.ddim import parse_deep_cache
+            pipe.deep_cache = parse_deep_cache(args.deep_cache)
+        if args.int8:
+            pipe.quantize_int8(weight_only=(args.int8 == "wo"))
 
     if args.export_artifact:
         from ..pipeline import save_amodal_artifact, save_depthfm_artifact

@@ -14,7 +14,31 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ddim_sample", "linear_alphas_cumprod", "ddpm_add_noise",
-           "ddpm_velocity"]
+           "ddpm_velocity", "parse_deep_cache"]
+
+
+def parse_deep_cache(spec, default_groups: int = 3):
+    """CLI/env DeepCache spec -> (interval, groups) tuple or None.
+
+    Accepts the serving-menu incantation format shared by every knob
+    surface (bench env vars, `--deep_cache` CLI flags): None/""/0 ->
+    off; an int or "N" -> (N, default_groups); "N,G" -> (N, G). The
+    gated recommendations are group-tuned ("2,2" for DepthFM), so the
+    CLIs must be able to express the full tuple, not just the interval.
+    """
+    if spec is None or spec == "" or spec == 0:
+        return None
+    if isinstance(spec, (tuple, list)):
+        interval, groups = spec
+        return (int(interval), int(groups))
+    if isinstance(spec, int):
+        return (spec, default_groups)
+    parts = str(spec).split(",")
+    interval = int(parts[0])
+    if interval == 0:
+        return None
+    groups = int(parts[1]) if len(parts) > 1 else default_groups
+    return (interval, groups)
 
 
 def linear_alphas_cumprod(n_timesteps: int = 1000, beta_start: float = 0.00085,

@@ -44,7 +44,8 @@ class DepthFMPipeline:
                  num_steps: int = 4, dtype=jnp.float32,
                  attn_impl: str | None = None, seed: int = 2024,
                  tome: tuple[float, int] | None = None,
-                 deep_cache: tuple[int, int] | None = None, mesh=None,
+                 deep_cache: tuple[int, int] | int | str | None = None,
+                 mesh=None,
                  cast: bool = True):
         """`mesh`: optional serving mesh — params are replicated and the
         batch sharded over its 'data' axis, so one jit program runs the
@@ -80,11 +81,12 @@ class DepthFMPipeline:
         # (interval N, shallow groups G): DeepCache Euler-step caching —
         # every N-th step runs the full UNet, the rest run only the G
         # shallowest groups reusing the cached deep feature (opt-in,
-        # parity-breaking; N must divide num_steps). An int means
+        # parity-breaking; N must divide num_steps). An int or "N" means
         # (N, 3) — 3 groups = the whole highest-resolution level of the
-        # SD topology (conv_in + 2 res/attn blocks).
-        self.deep_cache = (int(deep_cache), 3) \
-            if isinstance(deep_cache, int) else deep_cache
+        # SD topology (conv_in + 2 res/attn blocks); "N,G" strings (the
+        # serving-menu incantation format) parse too.
+        from ..ops.ddim import parse_deep_cache
+        self.deep_cache = parse_deep_cache(deep_cache)
 
         cfg_ = cfg
 

@@ -241,9 +241,10 @@ def _build_depthfm(args, name, loaded):
     # merge legal there (same shape the bench smoke uses)
     tome = ((0.75, 4096) if not args.random else (0.4, 8)) \
         if "tome" in name else None
-    # tiny presets have 6 symmetric UNet groups -> G=2; full SD has 12 -> 3
-    deep_cache = ((2, 3) if not args.random else (2, 2)) \
-        if "deepcache" in name else None
+    # tiny presets have 6 symmetric UNet groups -> G=2; full SD runs the
+    # gated serving recommendation (2,2) — the r5 trained-proxy frontier
+    # point (17.36 img/s PASS 0.043; G=3 is the prior rec at 16.18)
+    deep_cache = (2, 2) if "deepcache" in name else None
     pipe = DepthFMPipeline(params, cfg, size=args.size, num_steps=2
                            if args.random else 4, dtype=jnp_dtype(args),
                            tome=tome, deep_cache=deep_cache)

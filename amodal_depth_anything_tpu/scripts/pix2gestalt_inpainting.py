@@ -42,9 +42,10 @@ def build_parser():
     p.add_argument("--dav2_ckpt", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--ddim_steps", type=int, default=200)
-    p.add_argument("--deep_cache", type=int, default=None,
-                   help="DeepCache interval over the DDIM steps (opt-in, "
-                        "approximate; must divide --ddim_steps)")
+    p.add_argument("--deep_cache", default=None,
+                   help="DeepCache 'interval' or 'interval,groups' over "
+                        "the DDIM steps (opt-in, approximate; interval "
+                        "must divide --ddim_steps; groups default 3)")
     p.add_argument("--size", type=int, default=266,
                    help="DAV2 input (multiple of 14; reference 266)")
     p.add_argument("--limit", type=int, default=0)
@@ -172,9 +173,10 @@ def main(argv=None):
     heuristics = MaskHeuristics.from_checkpoints(
         args.sam_ckpt, args.p2g_ckpt, args.vae_ckpt, args.clip_ckpt,
         rmbg_ckpt=args.rmbg_ckpt)
+    from ..ops.ddim import parse_deep_cache
     heuristics.p2g_cfg = dataclasses.replace(
         heuristics.p2g_cfg, ddim_steps=args.ddim_steps,
-        ddim_deep_cache=(args.deep_cache, 3) if args.deep_cache else None)
+        ddim_deep_cache=parse_deep_cache(args.deep_cache))
 
     from ..convert.torch_to_jax import infer_dav2_config, load_state_dict
     sd = load_state_dict(args.dav2_ckpt)

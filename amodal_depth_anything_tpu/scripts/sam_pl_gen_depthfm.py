@@ -39,9 +39,11 @@ def build_parser():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tome", type=float, default=None,
                    help="ToMe-SD ratio in the UNet (opt-in, approximate)")
-    p.add_argument("--deep_cache", type=int, default=None,
-                   help="DeepCache interval over the Euler steps (opt-in, "
-                        "approximate; must divide --num_steps)")
+    p.add_argument("--deep_cache", default=None,
+                   help="DeepCache 'interval' or 'interval,groups' over "
+                        "the Euler steps (opt-in, approximate; interval "
+                        "must divide --num_steps; groups default 3 — the "
+                        "gated serving recommendation is '2,2')")
     return p
 
 
@@ -56,6 +58,7 @@ def main(argv=None):
     from ..convert.depthfm_convert import convert_sd_vae, load_depthfm_ckpt
     from ..convert.torch_to_jax import load_state_dict
     from ..models.depthfm import depthfm_predict_depth
+    from ..ops.ddim import parse_deep_cache
 
     with open(args.split) as f:
         ids = [ln.strip() for ln in f if ln.strip()]
@@ -71,7 +74,7 @@ def main(argv=None):
         depthfm_predict_depth, cfg=cfg, num_steps=args.num_steps,
         ensemble_size=args.ensemble,
         tome=(args.tome, 4096) if args.tome else None,
-        deep_cache=(args.deep_cache, 3) if args.deep_cache else None))
+        deep_cache=parse_deep_cache(args.deep_cache)))
 
     os.makedirs(args.out_dir, exist_ok=True)
     for i, sid in enumerate(ids):

@@ -306,9 +306,8 @@ def bench_depthfm():
         # `groups` shallowest input/output groups with the cached deep
         # feature spliced in (opt-in, parity-breaking; same ladder policy
         # as int8/ToMe). Default groups=3 = the whole highest-res level.
-        parts = dc_env.split(",")
-        deep_cache = (int(parts[0]),
-                      int(parts[1]) if len(parts) > 1 else 3)
+        from amodal_depth_anything_tpu.ops.ddim import parse_deep_cache
+        deep_cache = parse_deep_cache(dc_env)
         quant_tag += f" deepcache={dc_env}"
 
     # AMODAL_DEPTHFM_ATTN=xla|pallas: A/B the UNet attention impl (the
@@ -478,10 +477,8 @@ def bench_heuristics():
     dc_env = os.environ.get("AMODAL_DEEPCACHE_P2G", "")
     # "interval" or "interval,groups": DeepCache over the DDIM steps
     # (opt-in, parity-breaking — same ladder policy as the other knobs)
-    dc = None
-    if dc_env:
-        parts = dc_env.split(",")
-        dc = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 3)
+    from amodal_depth_anything_tpu.ops.ddim import parse_deep_cache
+    dc = parse_deep_cache(dc_env)
     mh.p2g_cfg = dataclasses.replace(mh.p2g_cfg, ddim_steps=ddim_steps,
                                      ddim_deep_cache=dc)
     # AMODAL_INT8_P2G: "1" = weight-only int8 UNet (halves the param

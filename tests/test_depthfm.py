@@ -220,7 +220,7 @@ def test_sam_pl_gen_depthfm_script(tmp_path, monkeypatch, rng):
         "--image_dir", str(img_dir), "--split", str(tmp_path / "split.txt"),
         "--ckpt", "fake.ckpt", "--vae_ckpt", "fake_vae.safetensors",
         "--out_dir", str(out_dc), "--num_steps", "2", "--ensemble", "2",
-        "--size", "32", "--dtype", "float32", "--deep_cache", "2",
+        "--size", "32", "--dtype", "float32", "--deep_cache", "2,2",
         "--data_index", "0", "--num_chunks", "3"])
     assert sorted(p.name for p in out_dc.iterdir()) == ["11_depth.png"]
 
@@ -233,6 +233,24 @@ def _jitter_tree(tree, scale=0.02, seed=99):
     return jax.tree.unflatten(treedef, [
         a + scale * jax.random.normal(k, a.shape, a.dtype)
         for a, k in zip(leaves, keys)])
+
+
+def test_parse_deep_cache_specs():
+    """One parser for every knob surface (bench env, CLI flags): the
+    gated recommendations are group-tuned tuples ('2,2'), so 'N,G' must
+    round-trip; bare ints / 'N' keep the historical groups-3 default."""
+    from amodal_depth_anything_tpu.ops.ddim import parse_deep_cache
+    assert parse_deep_cache(None) is None
+    assert parse_deep_cache("") is None
+    assert parse_deep_cache(0) is None
+    assert parse_deep_cache("0") is None
+    assert parse_deep_cache(2) == (2, 3)
+    assert parse_deep_cache("2") == (2, 3)
+    assert parse_deep_cache("2,2") == (2, 2)
+    assert parse_deep_cache("5,1") == (5, 1)
+    assert parse_deep_cache("4", default_groups=2) == (4, 2)
+    assert parse_deep_cache((2, 2)) == (2, 2)      # tuple passthrough
+    assert parse_deep_cache([5, 1]) == (5, 1)      # json-loaded list
 
 
 def test_unet_deep_cache_splice_is_exact_on_same_input(rng):

@@ -310,3 +310,42 @@ def test_http_serving_depthfm_family(rng):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+def test_serve_cli_knob_validation():
+    """The serving-menu knobs are depthfm-family, pre-compile options:
+    wrong family or --artifact mode must exit with a clear message
+    BEFORE any pipeline/restore work."""
+    from amodal_depth_anything_tpu.cli import serve
+
+    for argv in (["--family", "amodal", "--random", "--deep_cache", "2,2"],
+                 ["--family", "amodal", "--random", "--int8", "wo"],
+                 ["--family", "depthfm", "--artifact", "/nonexistent",
+                  "--deep_cache", "2,2"],
+                 ["--family", "depthfm", "--artifact", "/nonexistent",
+                  "--int8", "dynamic"]):
+        with pytest.raises(SystemExit):
+            serve.main(argv)
+
+
+def test_serve_deep_cache_and_int8_knobs_reach_pipeline(rng):
+    """--deep_cache 'N,G' strings parse through the DepthFMPipeline
+    constructor (the serving-menu incantation format) and the post-load
+    override path used by cli.serve; int8-wo rewrites the param tree
+    without breaking the serving graph."""
+    from amodal_depth_anything_tpu.pipeline import DepthFMPipeline
+
+    pipe = DepthFMPipeline.init_random(None, deep_cache="2,2")
+    assert pipe.deep_cache == (2, 2)
+
+    # the cli.serve override path: set post-construction, pre-first-call
+    pipe.deep_cache = None
+    from amodal_depth_anything_tpu.ops.ddim import parse_deep_cache
+    pipe.deep_cache = parse_deep_cache("2,1")
+    assert pipe.deep_cache == (2, 1)
+    pipe.quantize_int8(weight_only=True)  # tiny sites under thresholds: no-op tree walk
+    img = (rng.random((1, 32, 32, 3)) * 255).astype(np.float32)
+    msk = np.ones((1, 32, 32), np.float32)
+    out = pipe(img, msk, np.zeros((1, 32, 32), np.float32))
+    assert np.asarray(out).shape == (1, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
