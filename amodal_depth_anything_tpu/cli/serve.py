@@ -90,13 +90,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "'0' forces it off (overrides a --serving_state "
                         "saved with caching on). Not available in "
                         "--artifact mode (baked at export time).")
-    p.add_argument("--int8", default=None, choices=["wo", "dynamic"],
-                   help="(depthfm) int8 UNet+VAE: 'wo' = weight-only "
+    p.add_argument("--int8", default=None, choices=["wo", "dynamic", "ln"],
+                   help="opt-in int8 at startup (applied after load — do "
+                        "not combine with a --serving_state already saved "
+                        "quantized; not available in --artifact mode). "
+                        "depthfm family: 'wo' = weight-only UNet+VAE "
                         "(gated PASS, the b1-latency lever), 'dynamic' = "
                         "W8A8 run-time scales (b8 throughput lever; b1 "
-                        "latency regresses). Applied after load — do not "
-                        "combine with a --serving_state already saved "
-                        "quantized. Not available in --artifact mode.")
+                        "latency regresses). amodal family: 'ln' = "
+                        "calibration-free LN-bound scales on both trunks "
+                        "(gated PASS 0.016, 3.47 vs 3.16 img/s exact). "
+                        "The faster calibrated chain needs data — run it "
+                        "via the pipeline API and save_serving instead.")
     p.add_argument("--size", type=int, default=None,
                    help="input square size (default: 518 amodal / 512 "
                         "depthfm — the depthfm size must be divisible by "
@@ -236,9 +241,14 @@ def main(argv=None) -> None:
     if args.family == "depthfm" and args.size % 8 != 0:
         raise SystemExit(f"--size {args.size} must be divisible by the VAE "
                          f"factor 8 for --family depthfm")
-    if (args.deep_cache is not None or args.int8) \
-            and args.family != "depthfm":
-        raise SystemExit("--deep_cache/--int8 are depthfm-family knobs")
+    if args.deep_cache is not None and args.family != "depthfm":
+        raise SystemExit("--deep_cache is a depthfm-family knob")
+    if args.int8 in ("wo", "dynamic") and args.family != "depthfm":
+        raise SystemExit(f"--int8 {args.int8} is a depthfm-family mode; "
+                         "the amodal family's data-free mode is 'ln'")
+    if args.int8 == "ln" and args.family != "amodal":
+        raise SystemExit("--int8 ln (LN-bound scales) is an amodal-family "
+                         "mode; depthfm modes are 'wo'/'dynamic'")
     if (args.deep_cache is not None or args.int8) and args.artifact:
         raise SystemExit("--deep_cache/--int8 cannot be applied to a "
                          "pre-compiled --artifact program — pass them to "
@@ -304,15 +314,19 @@ def main(argv=None) -> None:
     else:
         raise SystemExit("need --serving_state or --base_ckpt/--amodal_ckpt")
 
-    if args.family == "depthfm" and not args.artifact:
-        # serving knobs (both lazily read at first-call trace time, so a
-        # post-construction override is safe): DeepCache splices into the
-        # Euler loop, int8 rewrites the param tree before any compile
+    if not args.artifact:
+        # serving knobs (all lazily consumed at first-call trace time, so
+        # a post-construction override is safe): DeepCache splices into
+        # the Euler loop, int8 rewrites the param tree before any compile
         if args.deep_cache is not None:
             from ..ops.ddim import parse_deep_cache
             pipe.deep_cache = parse_deep_cache(args.deep_cache)
-        if args.int8:
+        if args.int8 in ("wo", "dynamic"):
             pipe.quantize_int8(weight_only=(args.int8 == "wo"))
+        elif args.int8 == "ln":
+            # calibration-free LN-bound scales on both trunks — the
+            # data-free gated operating point (serving menu: PASS 0.016)
+            pipe.quantize_int8(base=True, amodal=True)
 
     if args.export_artifact:
         from ..pipeline import save_amodal_artifact, save_depthfm_artifact

@@ -320,6 +320,7 @@ def test_serve_cli_knob_validation():
 
     for argv in (["--family", "amodal", "--random", "--deep_cache", "2,2"],
                  ["--family", "amodal", "--random", "--int8", "wo"],
+                 ["--family", "depthfm", "--random", "--int8", "ln"],
                  ["--family", "depthfm", "--artifact", "/nonexistent",
                   "--deep_cache", "2,2"],
                  ["--family", "depthfm", "--artifact", "/nonexistent",
