@@ -225,6 +225,42 @@ def build_http_demo(app: AmodalDepthApp, *, host="127.0.0.1", port=7860):
     return ThreadingHTTPServer((host, port), Handler)
 
 
+def _build_heuristics(args):
+    """Heuristics stack for prompt_points mode, or None. Knob application
+    (DeepCache config, weight-only int8) happens BEFORE the first call —
+    the p2g jit is a cached property keyed on the config."""
+    if args.heur_serving is None and not (
+            args.sam_ckpt or args.p2g_ckpt or args.vae_ckpt
+            or args.clip_ckpt):
+        if args.p2g_deep_cache is not None or args.p2g_int8:
+            raise SystemExit("--p2g_deep_cache/--p2g_int8 require the "
+                             "heuristics stack (--sam_ckpt/--p2g_ckpt/"
+                             "--vae_ckpt/--clip_ckpt or --heur_serving)")
+        return None
+    from ..heuristics import MaskHeuristics
+    if args.heur_serving is not None:
+        mh = MaskHeuristics.load_serving(args.heur_serving)
+    else:
+        missing = [f for f in ("sam_ckpt", "p2g_ckpt", "vae_ckpt",
+                               "clip_ckpt") if getattr(args, f) is None]
+        if missing:
+            raise SystemExit("prompt_points mode needs all four stack "
+                             f"checkpoints; missing --{' --'.join(missing)}")
+        mh = MaskHeuristics.from_checkpoints(
+            args.sam_ckpt, args.p2g_ckpt, args.vae_ckpt, args.clip_ckpt,
+            rmbg_ckpt=args.rmbg_ckpt)
+    if args.p2g_deep_cache is not None:
+        import dataclasses
+
+        from ..ops.ddim import parse_deep_cache
+        mh.p2g_cfg = dataclasses.replace(
+            mh.p2g_cfg,
+            ddim_deep_cache=parse_deep_cache(args.p2g_deep_cache))
+    if args.p2g_int8:
+        mh.quantize_p2g_int8()  # weight_only=True default — the gated mode
+    return mh
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Amodal depth demo "
                                             "(Gradio, or plain HTTP "
@@ -236,13 +272,37 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--http", action="store_true",
                    help="force the plain-HTTP demo even if gradio exists")
+    # prompt_points mode (reference app.py:101-124): SAM point prompts ->
+    # pix2gestalt completion -> matting. Enabled by the heuristics
+    # checkpoints (or a save_serving dir — the fast-restore path).
+    p.add_argument("--sam_ckpt", default=None)
+    p.add_argument("--p2g_ckpt", default=None)
+    p.add_argument("--vae_ckpt", default=None,
+                   help="SD VAE weights for the pix2gestalt stack")
+    p.add_argument("--clip_ckpt", default=None)
+    p.add_argument("--rmbg_ckpt", default=None)
+    p.add_argument("--heur_serving", default=None,
+                   help="MaskHeuristics.save_serving dir — restores the "
+                        "ready (cast/quantized) stack instead of the four "
+                        "raw checkpoints")
+    p.add_argument("--p2g_deep_cache", default=None,
+                   help="DeepCache 'interval[,groups]' over the p2g DDIM "
+                        "steps — '5' is the gated demo recommendation "
+                        "(trained-proxy PASS; 1.7x per completion)")
+    p.add_argument("--p2g_int8", action="store_true",
+                   help="weight-only int8 p2g UNet (gated PASS; with "
+                        "--p2g_deep_cache 5 = the recommended 2.17 s "
+                        "completion stack)")
     args = p.parse_args(argv)
 
     from ..pipeline import AmodalDepthPipeline
 
+    # heuristics first: its flag validation (and SystemExit messages)
+    # must fire before the multi-GB pipeline checkpoint load
+    heuristics = _build_heuristics(args)
     pipe = AmodalDepthPipeline.from_checkpoints(args.base_ckpt,
                                                 args.amodal_ckpt)
-    app = AmodalDepthApp(pipe)
+    app = AmodalDepthApp(pipe, heuristics=heuristics)
     if not args.http:
         try:
             build_demo(app).launch(server_port=args.port)

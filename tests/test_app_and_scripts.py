@@ -324,3 +324,52 @@ def test_gradio_ui_graph_roundtrip(rng, monkeypatch):
     base, amodal = calls["fn"]({"background": img, "layers": [layer]},
                                "amodal_mask")
     assert base.shape == (60, 70, 3) and amodal.shape == (60, 70, 3)
+
+
+def test_app_cli_build_heuristics_validation():
+    """--p2g_* knobs without any heuristics source, or a partial raw-ckpt
+    set, must SystemExit with a pointer to the missing flags — before any
+    checkpoint IO."""
+    import argparse
+
+    from amodal_depth_anything_tpu.cli.app import _build_heuristics
+
+    def ns(**kw):
+        base = dict(sam_ckpt=None, p2g_ckpt=None, vae_ckpt=None,
+                    clip_ckpt=None, rmbg_ckpt=None, heur_serving=None,
+                    p2g_deep_cache=None, p2g_int8=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    assert _build_heuristics(ns()) is None
+    with pytest.raises(SystemExit):
+        _build_heuristics(ns(p2g_deep_cache="5"))
+    with pytest.raises(SystemExit):
+        _build_heuristics(ns(p2g_int8=True))
+    with pytest.raises(SystemExit):
+        _build_heuristics(ns(sam_ckpt="x.pth"))  # partial raw-ckpt set
+
+
+def test_app_cli_build_heuristics_knobs(tmp_path):
+    """The gated demo knobs reach the stack through the CLI path: a
+    save_serving dir restores, '--p2g_deep_cache 5,2' lands in p2g_cfg,
+    and --p2g_int8 leaves int8 UNet kernels (width-scaled thresholds
+    quantize the tiny preset proportionally)."""
+    import argparse
+
+    import jax.numpy as jnp
+
+    from amodal_depth_anything_tpu.cli.app import _build_heuristics
+    from amodal_depth_anything_tpu.heuristics import MaskHeuristics
+
+    MaskHeuristics.init_random(jax.random.PRNGKey(0),
+                               tiny=True).save_serving(str(tmp_path))
+    args = argparse.Namespace(
+        sam_ckpt=None, p2g_ckpt=None, vae_ckpt=None, clip_ckpt=None,
+        rmbg_ckpt=None, heur_serving=str(tmp_path),
+        p2g_deep_cache="5,2", p2g_int8=True)
+    mh = _build_heuristics(args)
+    assert mh.p2g_cfg.ddim_deep_cache == (5, 2)
+    int8_leaves = [a for a in jax.tree_util.tree_leaves(mh.p2g_params["unet"])
+                   if hasattr(a, "dtype") and a.dtype == jnp.int8]
+    assert int8_leaves, "no int8 kernels after --p2g_int8"
