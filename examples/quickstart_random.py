@@ -46,8 +46,11 @@ Image.fromarray((colorize_depth(blended) * 255).astype(np.uint8)).save(
     os.path.join(out_dir, "blended_depth.png"))
 
 # --- generative family: DepthFMAmodal 2-step Euler ---------------------
+# deep_cache="2,2" is the gated serving recommendation (trained-proxy
+# quality-gate PASS, +21% throughput at full size — docs/ROADMAP.md
+# "THE SERVING MENU"); every deep_cache surface accepts "interval[,groups]"
 dpipe = DepthFMPipeline.init_random(jax.random.PRNGKey(2), size=32,
-                                    num_steps=2)
+                                    num_steps=2, deep_cache="2,2")
 depth = dpipe(image, mask, base)  # base depth as the observation
 print("depthfm pipeline:", depth.shape,
       "finite:", bool(np.isfinite(depth).all()))
